@@ -1,0 +1,102 @@
+"""Headline benchmark: Ising spin-flips/s on a 4096^2 lattice (single chip).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference emulator's implied bit-update throughput, ~4.4e5
+flips/s (4,377 samples/s x 10 sweeps x 10 bits — BASELINE.md / SURVEY.md §6).
+North-star target: >= 1e10 flips/s/chip (BASELINE.json).
+
+Backend selection: Pallas checkerboard kernel on TPU, XLA path elsewhere
+(also used as a cross-check and automatic fallback).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REFERENCE_FLIPS_PER_S = 4.4e5  # BASELINE.md: reference software throughput
+
+
+def _throughput(step_fn, planes, n_iters=10, n_sweeps_per_iter=10):
+    """Time n_iters calls of step_fn (each n_sweeps_per_iter sweeps).
+
+    Completion is forced by fetching a small device slice — on tunneled
+    backends block_until_ready alone under-reports (verified empirically).
+    """
+    red, black = planes
+    # Warm-up / compile.
+    red, black = step_fn(red, black, 0)
+    np.asarray(red[:2, :2])
+    t0 = time.perf_counter()
+    for i in range(1, n_iters + 1):
+        red, black = step_fn(red, black, i)
+    np.asarray(red[:2, :2])
+    np.asarray(black[:2, :2])
+    dt = time.perf_counter() - t0
+    n_sites = red.shape[0] * red.shape[1] * 2
+    sweeps = n_iters * n_sweeps_per_iter
+    return n_sites * sweeps / dt, dt / sweeps
+
+
+def main():
+    backend = jax.default_backend()
+    size = 4096 if backend == "tpu" else 1024  # CPU fallback keeps bench fast
+    R = C = size
+    T = 2.269
+    n_sweeps = 10
+
+    from tsu_tpu.ops.checkerboard import split_checkerboard
+
+    lattice = jnp.ones((R, C), dtype=jnp.float32)
+    planes = split_checkerboard(lattice)
+
+    results = {}
+
+    # XLA path (works everywhere).
+    from tsu_tpu.ops.checkerboard import checkerboard_sweeps_planes
+
+    def xla_step(red, black, i):
+        return checkerboard_sweeps_planes(
+            jax.random.fold_in(jax.random.key(0), i), red, black, T, n_sweeps,
+            J=1.0, field=0.0, periodic=True,
+        )
+
+    results["xla"], _ = _throughput(xla_step, planes, n_iters=5,
+                                    n_sweeps_per_iter=n_sweeps)
+
+    # Pallas path (TPU).
+    if backend == "tpu":
+        try:
+            from tsu_tpu.ops.checkerboard_pallas import (
+                checkerboard_sweeps_planes_pallas,
+            )
+
+            def pallas_step(red, black, i):
+                return checkerboard_sweeps_planes_pallas(
+                    jnp.int32(1 + i * 1_000_033), red, black, T, n_sweeps,
+                    J=1.0, field=0.0, periodic=True,
+                )
+
+            results["pallas"], _ = _throughput(pallas_step, planes, n_iters=10,
+                                               n_sweeps_per_iter=n_sweeps)
+        except Exception as e:  # noqa: BLE001 — fall back, report XLA number
+            results["pallas_error"] = str(e)[:200]
+
+    flips = max(v for k, v in results.items() if isinstance(v, float))
+    print(
+        json.dumps(
+            {
+                "metric": f"ising_spin_flips_per_s_per_chip_{size}x{size}",
+                "value": flips,
+                "unit": "flips/s",
+                "vs_baseline": flips / REFERENCE_FLIPS_PER_S,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,173 @@
+"""GibbsSampler tests: exact small-system values + moment checks vs the
+exact-enumeration oracle (reference pattern: tests/test_gibbs.py, upgraded
+with enumeration the reference lacks)."""
+
+import numpy as np
+import pytest
+
+from tsu_tpu import GibbsConfig, GibbsSampler, SamplingError
+from tsu_tpu.oracle import exact_boltzmann_moments
+
+
+class TestLocalField:
+    def test_exact_value(self):
+        # h_0 = J[0,1]*s1 + J[0,2]*s2 + b0 = 2*1 + 0*1 + 0 = 2 (cf.
+        # tests/test_gibbs.py:47-61 pattern).
+        sampler = GibbsSampler(seed=0)
+        J = np.array([[0.0, 2.0, 0.0], [2.0, 0.0, 1.0], [0.0, 1.0, 0.0]])
+        state = np.array([0.0, 1.0, 1.0])
+        assert sampler._compute_local_field(0, state, J) == pytest.approx(2.0)
+        assert sampler._compute_local_field(1, state, J) == pytest.approx(1.0)
+
+    def test_with_bias(self):
+        sampler = GibbsSampler(seed=0)
+        J = np.zeros((2, 2))
+        b = np.array([0.5, -0.5])
+        assert sampler._compute_local_field(0, np.ones(2), J, b) == pytest.approx(0.5)
+
+    def test_diagonal_excluded(self):
+        sampler = GibbsSampler(seed=0)
+        J = np.array([[5.0, 1.0], [1.0, 5.0]])
+        # Field on site 0 with s=(1,1): J01*s1 = 1 (diagonal term excluded).
+        assert sampler._compute_local_field(0, np.ones(2), J) == pytest.approx(1.0)
+
+
+class TestEnergy:
+    def test_exact_values(self):
+        sampler = GibbsSampler(seed=0)
+        J = np.array([[0.0, 4.0], [4.0, 0.0]])
+        # E = -1/2 * (4+4) = -4 for b=(1,1)
+        assert sampler.compute_energy(np.ones(2), J) == pytest.approx(-4.0)
+        assert sampler.compute_energy(np.zeros(2), J) == pytest.approx(0.0)
+
+    def test_bias_contribution(self):
+        sampler = GibbsSampler(seed=0)
+        J = np.zeros((2, 2))
+        b = np.array([1.0, 2.0])
+        assert sampler.compute_energy(np.ones(2), J, b) == pytest.approx(-3.0)
+
+
+class TestSampleBoltzmann:
+    def test_shapes_and_binary(self):
+        sampler = GibbsSampler(GibbsConfig(n_burnin=20, n_sweeps=2), seed=0)
+        J = np.eye(4) * 0  # independent bits
+        s = sampler.sample_boltzmann(J, n_samples=50)
+        assert s.shape == (50, 4)
+        assert set(np.unique(s)) <= {0.0, 1.0}
+
+    def test_nonsquare_rejected(self):
+        sampler = GibbsSampler(seed=0)
+        with pytest.raises(SamplingError):
+            sampler.sample_boltzmann(np.zeros((3, 2)), n_samples=5)
+
+    def test_bias_shifts_frequency(self):
+        # Strong positive bias -> bits mostly 1 (cf. tests/test_gibbs.py:221-248).
+        sampler = GibbsSampler(GibbsConfig(n_burnin=50, n_sweeps=1), seed=0)
+        J = np.zeros((3, 3))
+        b = np.array([3.0, 3.0, 3.0])
+        s = sampler.sample_boltzmann(J, bias=b, n_samples=300)
+        assert s.mean() > 0.9
+
+    def test_independent_bits_match_sigmoid(self):
+        # With J=0, P(b_i=1) = sigmoid(b_i/T) exactly.
+        sampler = GibbsSampler(GibbsConfig(n_burnin=20, n_sweeps=1,
+                                           temperature=2.0, n_chains=4), seed=1)
+        b = np.array([1.0, -1.0])
+        s = sampler.sample_boltzmann(np.zeros((2, 2)), bias=b, n_samples=2000)
+        expected = 1.0 / (1.0 + np.exp(-b / 2.0))
+        assert np.all(np.abs(s.mean(axis=0) - expected) < 0.05)
+
+    def test_moments_vs_exact_enumeration(self):
+        # 5-bit random-J system: sampled marginals within MC error of the
+        # exact Boltzmann distribution (BASELINE acceptance style).
+        rng = np.random.default_rng(7)
+        n = 5
+        J = rng.normal(0, 0.7, (n, n))
+        J = (J + J.T) / 2
+        np.fill_diagonal(J, 0.0)
+        h = rng.normal(0, 0.5, n)
+
+        sampler = GibbsSampler(GibbsConfig(n_burnin=100, n_sweeps=3,
+                                           n_chains=8), seed=3)
+        s = sampler.sample_boltzmann(J, bias=h, n_samples=4000)
+        exact = exact_boltzmann_moments(J, h, temperature=1.0)
+        # Marginal means: MC std err <= 0.5/sqrt(4000/tau); allow 4 sigma-ish.
+        assert np.all(np.abs(s.mean(axis=0) - exact["mean"]) < 0.06)
+
+    def test_ferromagnet_orders_at_low_temperature(self):
+        # Strong ferro couplings at low T -> aligned bits (all 0 or all 1).
+        sampler = GibbsSampler(GibbsConfig(temperature=0.2, n_burnin=100,
+                                           n_sweeps=2), seed=2)
+        n = 6
+        J = np.ones((n, n)) * 2.0
+        np.fill_diagonal(J, 0.0)
+        s = sampler.sample_boltzmann(J, n_samples=200)
+        m = s.mean(axis=1)
+        # At T=0.2 each sample should be nearly uniform 0s or 1s... with
+        # J>0 on bits the all-ones state dominates (E=-30 vs 0).
+        assert (np.minimum(m, 1 - m) < 0.2).mean() > 0.9
+
+
+class TestGibbsSweepAndConditional:
+    def test_gibbs_sweep_shape(self):
+        sampler = GibbsSampler(GibbsConfig(n_burnin=1), seed=0)
+        J = np.zeros((4, 4))
+        out = sampler.gibbs_sweep(np.zeros(4), J, n_sweeps=3)
+        assert out.shape == (4,)
+        assert set(np.unique(out)) <= {0.0, 1.0}
+
+    def test_sample_conditional_deterministic_limits(self):
+        sampler = GibbsSampler(GibbsConfig(temperature=0.05), seed=0)
+        J = np.zeros((2, 2))
+        b = np.array([10.0, -10.0])
+        assert sampler.sample_conditional(0, np.zeros(2), J, b) == 1
+        assert sampler.sample_conditional(1, np.zeros(2), J, b) == 0
+
+
+class TestParallelTempering:
+    def test_returns_samples_and_info(self):
+        sampler = GibbsSampler(GibbsConfig(n_burnin=10, n_sweeps=1), seed=0)
+        n = 6
+        rng = np.random.default_rng(0)
+        J = rng.normal(0, 1, (n, n))
+        J = (J + J.T) / 2
+        np.fill_diagonal(J, 0)
+        samples, info = sampler.parallel_tempering(
+            J, temperatures=[0.5, 1.0, 2.0, 4.0], n_samples=100, swap_interval=5
+        )
+        assert samples.shape == (100, n)
+        assert 0.0 <= info["swap_acceptance_rate"] <= 1.0
+        assert info["swap_attempts"] > 0
+        assert info["final_states"].shape == (4, n)
+
+    def test_swaps_mix_frustrated_system(self):
+        # PT on a frustrated system should accept a healthy share of swaps.
+        sampler = GibbsSampler(GibbsConfig(n_burnin=10, n_sweeps=1), seed=1)
+        rng = np.random.default_rng(5)
+        n = 8
+        J = rng.normal(0, 1.5, (n, n))
+        J = (J + J.T) / 2
+        np.fill_diagonal(J, 0)
+        _, info = sampler.parallel_tempering(
+            J, temperatures=[1.0, 1.5, 2.3, 3.4, 5.0], n_samples=200,
+            swap_interval=2,
+        )
+        assert info["swap_acceptance_rate"] > 0.1
+
+
+class TestSimulatedAnnealing:
+    def test_finds_ferromagnetic_ground_state(self):
+        sampler = GibbsSampler(GibbsConfig(n_chains=4), seed=0)
+        n = 8
+        J = np.ones((n, n)) * 1.0
+        np.fill_diagonal(J, 0)
+        state, energy = sampler.simulated_annealing(J, n_steps=300)
+        # Bit ground state of ferro J>0 is all-ones: E = -n(n-1)/2.
+        assert energy == pytest.approx(-n * (n - 1) / 2)
+        assert np.all(state == 1.0)
+
+    def test_config_not_mutated(self):
+        cfg = GibbsConfig(temperature=1.7)
+        sampler = GibbsSampler(cfg, seed=0)
+        sampler.simulated_annealing(np.zeros((3, 3)), n_steps=50)
+        assert sampler.config.temperature == 1.7

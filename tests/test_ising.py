@@ -1,0 +1,202 @@
+"""Ising model tests: exact energies, corrected spin<->bit mapping (quirk Q1),
+observables, and phase behavior (reference pattern: tests/test_ising.py)."""
+
+import numpy as np
+import pytest
+
+from tsu_tpu import (
+    ConfigurationError,
+    IsingChain,
+    IsingConfig,
+    IsingGrid,
+    IsingModel,
+)
+from tsu_tpu.energy import ising_to_boltzmann
+from tsu_tpu.oracle import exact_ising_moments, exact_boltzmann_moments
+
+
+class TestIsingModel:
+    def test_energy_exact(self):
+        # Two spins, J=1: E(++) = -1, E(+-) = +1 (cf. tests/test_ising.py:47-73).
+        m = IsingModel(2, seed=0)
+        m.set_coupling(0, 1, 1.0)
+        assert m.energy(np.array([1.0, 1.0])) == pytest.approx(-1.0)
+        assert m.energy(np.array([1.0, -1.0])) == pytest.approx(1.0)
+
+    def test_energy_with_field(self):
+        m = IsingModel(2, seed=0)
+        m.set_external_field(np.array([0.5, -0.5]))
+        assert m.energy(np.array([1.0, 1.0])) == pytest.approx(0.0)
+        assert m.energy(np.array([1.0, -1.0])) == pytest.approx(-1.0)
+
+    def test_set_coupling_symmetric(self):
+        m = IsingModel(3, seed=0)
+        m.set_coupling(0, 2, 1.5)
+        assert m.J[0, 2] == m.J[2, 0] == 1.5
+
+    def test_self_coupling_rejected(self):
+        m = IsingModel(3, seed=0)
+        with pytest.raises(ConfigurationError):
+            m.set_coupling(1, 1, 1.0)
+
+    def test_out_of_range_rejected(self):
+        m = IsingModel(3, seed=0)
+        with pytest.raises(ConfigurationError):
+            m.set_coupling(0, 5, 1.0)
+
+    def test_spin_bit_roundtrip(self):
+        m = IsingModel(4, seed=0)
+        s = np.array([1.0, -1.0, -1.0, 1.0])
+        np.testing.assert_array_equal(m._bits_to_spins(m._spins_to_bits(s)), s)
+
+    def test_bit_mapping_preserves_distribution(self):
+        """The corrected spin->bit mapping (quirk Q1 fix) must give identical
+        Boltzmann moments in both representations."""
+        rng = np.random.default_rng(3)
+        n = 6
+        J = rng.normal(0, 0.8, (n, n))
+        J = (J + J.T) / 2
+        np.fill_diagonal(J, 0)
+        h = rng.normal(0, 0.5, n)
+        T = 1.3
+
+        spin = exact_ising_moments(J, h, temperature=T)
+        J_bit, h_bit = ising_to_boltzmann(J, h)
+        bit = exact_boltzmann_moments(np.asarray(J_bit), np.asarray(h_bit),
+                                      temperature=T)
+        # <s_i> = 2<b_i> - 1 must hold exactly.
+        np.testing.assert_allclose(spin["mean"], 2 * bit["mean"] - 1, atol=1e-5)
+
+    def test_sample_moments_vs_exact(self):
+        rng = np.random.default_rng(11)
+        n = 5
+        m = IsingModel(n, IsingConfig(n_burnin=100, n_sweeps=3, n_chains=8),
+                       seed=5)
+        for i in range(n):
+            for j in range(i + 1, n):
+                m.set_coupling(i, j, rng.normal(0, 0.6))
+        m.set_external_field(rng.normal(0, 0.4, n))
+        samples = m.sample(4000)
+        exact = exact_ising_moments(m.J, m.h, temperature=1.0)
+        assert np.all(np.abs(samples.mean(axis=0) - exact["mean"]) < 0.08)
+
+    def test_sample_shape_and_spins(self):
+        m = IsingModel(4, IsingConfig(n_burnin=10), seed=0)
+        s = m.sample(20)
+        assert s.shape == (20, 4)
+        assert set(np.unique(s)) <= {-1.0, 1.0}
+
+    def test_observables(self):
+        m = IsingModel(3, seed=0)
+        samples = np.array([[1.0, 1.0, 1.0], [-1.0, -1.0, -1.0]])
+        assert m.magnetization(samples) == pytest.approx(0.0)
+        assert m.susceptibility(np.ones((5, 3))) == pytest.approx(0.0)
+
+    def test_find_ground_state_ferromagnet(self):
+        m = IsingModel(6, seed=0)
+        for i in range(5):
+            m.set_coupling(i, i + 1, 2.0)
+        state, energy = m.find_ground_state(n_steps=300)
+        assert abs(state.sum()) == 6  # fully aligned
+        assert energy == pytest.approx(-10.0)
+
+
+class TestIsingChain:
+    def test_construction(self):
+        chain = IsingChain(5, J=1.5, seed=0)
+        assert chain.J[0, 1] == 1.5
+        assert chain.J[3, 4] == 1.5
+        assert chain.J[0, 2] == 0.0
+
+    def test_orders_at_low_temperature(self):
+        chain = IsingChain(8, J=2.0,
+                           config=IsingConfig(temperature=0.3, n_burnin=200,
+                                              n_sweeps=2), seed=1)
+        s = chain.sample(100)
+        m = np.abs(s.mean(axis=1))
+        assert m.mean() > 0.8
+
+    def test_visualize_smoke(self):
+        chain = IsingChain(5, seed=0)
+        fig = chain.visualize(np.array([1, -1, 1, -1, 1.0]))
+        assert fig is not None
+
+
+class TestIsingGrid:
+    def test_even_grid_uses_stencil(self):
+        grid = IsingGrid((8, 8), seed=0)
+        assert grid._fast
+        assert grid.J is None
+
+    def test_odd_grid_uses_dense(self):
+        grid = IsingGrid((3, 3), seed=0)
+        assert not grid._fast
+        assert grid.J is not None
+        # 3x3 open grid: 12 bonds.
+        assert (np.count_nonzero(grid.J) // 2) == 12
+
+    def test_energy_matches_between_paths(self, rng):
+        state = np.where(rng.random(16) < 0.5, 1.0, -1.0)
+        fast = IsingGrid((4, 4), coupling_strength=1.0, periodic=False, seed=0,
+                         use_pallas=False)
+        # Build dense twin via an odd-grid-style construction.
+        dense = IsingGrid.__new__(IsingGrid)
+        IsingModel.__init__(dense, 16, None, 0)
+        dense.shape = (4, 4)
+        dense.periodic = False
+        dense.coupling_strength = 1.0
+        dense._fast = False
+        dense._build_dense()
+        assert fast.energy(state) == pytest.approx(dense.energy(state))
+
+    def test_sample_shape(self):
+        grid = IsingGrid((6, 6), config=IsingConfig(n_burnin=20), seed=0,
+                         use_pallas=False)
+        s = grid.sample(10)
+        assert s.shape == (10, 36)
+        assert set(np.unique(s)) <= {-1.0, 1.0}
+
+    def test_orders_below_tc(self):
+        grid = IsingGrid((16, 16), periodic=True, seed=0, use_pallas=False,
+                         config=IsingConfig(n_burnin=300, n_sweeps=2))
+        s = grid.sample(50, temperature=1.5)  # below T_c ~ 2.269
+        m = np.abs(s.mean(axis=1))
+        assert m.mean() > 0.85
+
+    def test_disorders_above_tc(self):
+        grid = IsingGrid((16, 16), periodic=True, seed=0, use_pallas=False,
+                         config=IsingConfig(n_burnin=100, n_sweeps=1))
+        s = grid.sample(100, temperature=5.0)
+        assert abs(s.mean()) < 0.1
+
+    def test_ground_state(self):
+        grid = IsingGrid((6, 6), periodic=True, seed=0, use_pallas=False)
+        state, energy = grid.find_ground_state(n_steps=300)
+        # Ferromagnetic periodic 6x6: E0 = -2 * 36 = -72.
+        assert energy == pytest.approx(-72.0)
+
+    def test_compute_domains(self):
+        grid = IsingGrid((4, 4), seed=0)
+        assert grid.compute_domains(np.ones(16)) == 1
+        half = np.ones((4, 4))
+        half[:, 2:] = -1
+        assert grid.compute_domains(half.ravel()) == 2
+
+    def test_visualize_smoke(self):
+        grid = IsingGrid((4, 4), seed=0)
+        fig = grid.visualize(np.ones(16))
+        assert fig is not None
+
+
+class TestPhaseTransition:
+    @pytest.mark.slow
+    def test_magnetization_drops_across_tc(self):
+        from tsu_tpu.models.ising import demonstrate_phase_transition
+
+        res = demonstrate_phase_transition(
+            sizes=[12], temperatures=np.array([1.0, 1.5, 3.5, 4.0]),
+            n_samples=40, seed=0,
+        )
+        m = res[12]["magnetization"]
+        assert m[0] > 0.9      # deep ferromagnetic phase
+        assert m[-1] < 0.35    # disordered phase

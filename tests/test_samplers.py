@@ -1,0 +1,102 @@
+"""Direct sampler-engine tests: Langevin integrators, HMC, annealed SMC."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tsu_tpu.energy import MixtureOfGaussians, Quadratic
+from tsu_tpu.samplers.hmc import sample_hmc
+from tsu_tpu.samplers.langevin import sample_langevin
+from tsu_tpu.samplers.smc import annealed_smc, systematic_resample_indices
+
+
+class TestLangevin:
+    @pytest.mark.parametrize("underdamped", [True, False])
+    def test_gaussian_moments(self, underdamped):
+        key = jax.random.key(0)
+        x0 = jnp.zeros((16, 2))
+        s = sample_langevin(
+            key, x0, energy_fn=Quadratic(0.0, 1.0), n_samples=300,
+            dt=0.05 if underdamped else 0.01, n_burnin=300, n_steps=5,
+            underdamped=underdamped,
+        )
+        assert s.shape == (16, 300, 2)
+        flat = np.asarray(s).reshape(-1, 2)
+        assert np.all(np.abs(flat.mean(axis=0)) < 0.1)
+        assert np.all(np.abs(flat.std(axis=0) - 1.0) < 0.12)
+
+    def test_temperature_scales_variance(self):
+        key = jax.random.key(1)
+        x0 = jnp.zeros((8, 1))
+        kwargs = dict(energy_fn=Quadratic(0.0, 1.0), n_samples=400,
+                      dt=0.05, n_burnin=300, n_steps=5)
+        hot = sample_langevin(key, x0, temperature=4.0, **kwargs)
+        cold = sample_langevin(key, x0, temperature=0.25, **kwargs)
+        # Var scales linearly with T: std ratio ~ sqrt(16) = 4.
+        ratio = np.asarray(hot).std() / np.asarray(cold).std()
+        assert 2.5 < ratio < 6.0
+
+
+class TestHMC:
+    def test_gaussian_exact(self):
+        key = jax.random.key(0)
+        x0 = jnp.zeros((8, 3))
+        s, acc = sample_hmc(
+            key, x0, energy_fn=Quadratic(0.0, 1.0), n_samples=500,
+            step_size=0.3, n_leapfrog=8, n_burnin=100,
+        )
+        assert s.shape == (8, 500, 3)
+        assert float(acc) > 0.7
+        flat = np.asarray(s).reshape(-1, 3)
+        assert np.all(np.abs(flat.mean(axis=0)) < 0.08)
+        assert np.all(np.abs(flat.std(axis=0) - 1.0) < 0.08)
+
+    def test_anisotropic_gaussian(self):
+        key = jax.random.key(2)
+
+        def energy(x):
+            return x[0] ** 2 / (2 * 4.0) + x[1] ** 2 / (2 * 0.25)
+
+        s, acc = sample_hmc(key, jnp.zeros((8, 2)), energy_fn=energy,
+                            n_samples=800, step_size=0.2, n_leapfrog=10,
+                            n_burnin=200)
+        flat = np.asarray(s).reshape(-1, 2)
+        assert abs(flat[:, 0].std() - 2.0) < 0.25
+        assert abs(flat[:, 1].std() - 0.5) < 0.08
+
+
+class TestSMC:
+    def test_systematic_resampling_unbiased(self):
+        key = jax.random.key(0)
+        log_w = jnp.log(jnp.array([0.1, 0.2, 0.3, 0.4]))
+        counts = np.zeros(4)
+        for i in range(200):
+            idx = systematic_resample_indices(jax.random.fold_in(key, i), log_w)
+            counts += np.bincount(np.asarray(idx), minlength=4)
+        freqs = counts / counts.sum()
+        np.testing.assert_allclose(freqs, [0.1, 0.2, 0.3, 0.4], atol=0.03)
+
+    def test_multimodal_target(self):
+        key = jax.random.key(1)
+        energy = MixtureOfGaussians(((-3.0,), (3.0,)), (0.5, 0.5))
+        particles = 3.0 * jax.random.normal(jax.random.fold_in(key, 0), (512, 1))
+        out = annealed_smc(jax.random.fold_in(key, 1), particles,
+                           energy_fn=energy, n_steps=40, n_moves=5, dt=0.05)
+        x = np.asarray(out["particles"]).ravel()
+        frac_left = np.mean(x < 0)
+        assert 0.3 < frac_left < 0.7
+        # Mode means near ±3.
+        assert abs(np.mean(np.abs(x)) - 3.0) < 0.4
+
+    def test_log_z_gaussian(self):
+        # Target N(0,1) from base N(0, 3^2): log Z = log[(1/sqrt(2pi)) ... ]
+        # With E_target = x^2/2, Z_target = sqrt(2 pi); base normalized
+        # against exp(-x^2/(2*9)) with Z_base = sqrt(2 pi * 9).
+        key = jax.random.key(3)
+        particles = 3.0 * jax.random.normal(jax.random.fold_in(key, 0), (2048, 1))
+        out = annealed_smc(jax.random.fold_in(key, 1), particles,
+                           energy_fn=Quadratic(0.0, 1.0), n_steps=60,
+                           n_moves=3, dt=0.1, base_sigma=3.0)
+        expected = 0.5 * np.log(2 * np.pi) - 0.5 * np.log(2 * np.pi * 9.0)
+        assert float(out["log_Z"]) == pytest.approx(expected, abs=0.15)

@@ -1,0 +1,120 @@
+"""Multi-device tests on the CPU-simulated 8-device mesh (SURVEY.md §4):
+halo-exchange correctness, sharded moments, replica/chain axes."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tsu_tpu.ops.checkerboard import (
+    lattice_energy_batch,
+    merge_checkerboard,
+    split_checkerboard,
+)
+from tsu_tpu.oracle import exact_ising_moments, lattice_energy_np
+from tsu_tpu.parallel import make_mesh, sharded_checkerboard_sweeps, sharded_lattice_sample
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 4, reason="needs >=4 (virtual) devices"
+)
+
+
+class TestMesh:
+    def test_make_mesh(self):
+        mesh = make_mesh(rows=4)
+        assert mesh.shape["row"] == 4
+
+    def test_too_many_devices_rejected(self):
+        with pytest.raises(ValueError):
+            make_mesh(rows=1024)
+
+
+class TestShardedSweeps:
+    def test_spins_stay_binary_and_sharded(self):
+        mesh = make_mesh(rows=4)
+        lat = jnp.ones((16, 16))
+        red, black = split_checkerboard(lat)
+        red2, black2 = sharded_checkerboard_sweeps(
+            mesh, jax.random.key(0), red, black, 2.0, 3, periodic=True
+        )
+        out = np.asarray(merge_checkerboard(red2, black2))
+        assert set(np.unique(out)) <= {-1.0, 1.0}
+
+    def test_moments_vs_exact_enumeration_4x4(self):
+        """Sharded checkerboard on 4 devices (1 row-pair per shard!) must
+        reproduce exact 4x4 moments — exercises every halo path."""
+        R = C = 4
+        T = 3.0
+        n = R * C
+        J = np.zeros((n, n))
+        for r in range(R):
+            for c in range(C):
+                i = r * C + c
+                for rr, cc in ((r, (c + 1) % C), ((r + 1) % R, c)):
+                    j = rr * C + cc
+                    J[i, j] += 1.0
+                    J[j, i] += 1.0
+        exact = exact_ising_moments(J, np.zeros(n), temperature=T)
+
+        mesh = make_mesh(rows=2)  # 2 shards x 2 rows each
+        out = sharded_lattice_sample(
+            mesh, jax.random.key(5), jnp.ones((R, C)),
+            n_samples=4000, temperature=T, n_burnin=200, n_sweeps=2,
+            periodic=True,
+        )
+        m_abs = np.abs(np.asarray(out["magnetization"]))
+        e = np.asarray(out["energy"])
+        assert m_abs.mean() == pytest.approx(exact["abs_magnetization"], abs=0.04)
+        assert e.mean() == pytest.approx(exact["energy"], abs=0.6)
+
+    @pytest.mark.parametrize("periodic", [True, False])
+    def test_sharded_matches_single_device_statistics(self, periodic):
+        """Same lattice, same T: sharded and unsharded sampling must agree on
+        <|M|> and <E> within MC error (they target the same distribution)."""
+        from tsu_tpu.ops.checkerboard import sample_lattice
+
+        T = 2.5
+        shape = (16, 16)
+        mesh = make_mesh(rows=4)
+        out_sh = sharded_lattice_sample(
+            mesh, jax.random.key(1), jnp.ones(shape), n_samples=600,
+            temperature=T, n_burnin=150, n_sweeps=2, periodic=periodic,
+        )
+        out_1d = sample_lattice(
+            jax.random.key(2), jnp.ones(shape), n_samples=600, temperature=T,
+            n_burnin=150, n_sweeps=2, periodic=periodic, collect="observables",
+        )
+        m_sh = np.abs(np.asarray(out_sh["magnetization"])).mean()
+        m_1d = np.abs(np.asarray(out_1d["magnetization"])).mean()
+        e_sh = np.asarray(out_sh["energy"]).mean()
+        e_1d = np.asarray(out_1d["energy"]).mean()
+        assert m_sh == pytest.approx(m_1d, abs=0.08)
+        assert e_sh == pytest.approx(e_1d, rel=0.1, abs=8.0)
+
+    def test_low_temperature_orders_when_sharded(self):
+        mesh = make_mesh(rows=4)
+        out = sharded_lattice_sample(
+            mesh, jax.random.key(3), jnp.ones((16, 16)), n_samples=50,
+            temperature=0.8, n_burnin=100, n_sweeps=1, periodic=True,
+        )
+        assert np.abs(np.asarray(out["magnetization"])).mean() > 0.9
+
+
+class TestChainsAxis:
+    def test_sharded_chains_langevin(self):
+        """Chains sharded over all 8 devices via jit auto-partitioning."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from tsu_tpu.energy import Quadratic
+        from tsu_tpu.samplers.langevin import sample_langevin
+
+        mesh = make_mesh(chains=len(jax.devices()))
+        n_chains = 8 * 4
+        x0 = jnp.zeros((n_chains, 2))
+        x0 = jax.device_put(x0, NamedSharding(mesh, P("chains", None)))
+        s = sample_langevin(
+            jax.random.key(0), x0, energy_fn=Quadratic(0.0, 1.0),
+            n_samples=300, dt=0.05, n_burnin=300, n_steps=10,
+        )
+        flat = np.asarray(s).reshape(-1, 2)
+        assert np.all(np.abs(flat.mean(axis=0)) < 0.12)
+        assert np.all(np.abs(flat.std(axis=0) - 1.0) < 0.12)

@@ -1,0 +1,93 @@
+"""Real-TPU kernel tests: Pallas vs XLA statistical agreement.
+
+Run with TSU_TEST_TPU=1 on a TPU host (skipped on the CPU mesh); these are the
+on-hardware acceptance checks for the hot kernel (SURVEY.md §8.3 item 5).
+"""
+
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("TSU_TEST_TPU") or jax.default_backend() != "tpu",
+    reason="requires TSU_TEST_TPU=1 and a TPU backend",
+)
+
+
+@pytest.mark.tpu
+@pytest.mark.parametrize("periodic", [True, False])
+def test_pallas_matches_xla_statistics(periodic):
+    """Same lattice, same T: Pallas and XLA sweeps must agree on <|m|> and
+    <e> within MC error (identical heat-bath semantics, different PRNGs)."""
+    from tsu_tpu.ops.checkerboard import (
+        checkerboard_sweeps_planes,
+        lattice_energy_batch,
+        merge_checkerboard,
+        split_checkerboard,
+    )
+    from tsu_tpu.ops.checkerboard_pallas import checkerboard_sweeps_planes_pallas
+
+    R = C = 128
+    T = 3.0  # disordered: fast mixing
+    n_samp = 60
+    planes0 = split_checkerboard(jnp.ones((R, C), jnp.float32))
+
+    def collect(step):
+        red, black = step(0, *planes0, 30)  # burn-in
+        ms, es = [], []
+        for i in range(1, n_samp + 1):
+            red, black = step(i, red, black, 2)
+            lat = merge_checkerboard(red, black)
+            ms.append(float(jnp.mean(lat)))
+            es.append(float(lattice_energy_batch(lat, J=1.0, field=0.0,
+                                                 periodic=periodic)) / (R * C))
+        return np.abs(ms).mean(), np.mean(es)
+
+    def xla_step(i, red, black, n):
+        return checkerboard_sweeps_planes(
+            jax.random.fold_in(jax.random.key(7), i), red, black, T, n,
+            J=1.0, field=0.0, periodic=periodic,
+        )
+
+    def pallas_step(i, red, black, n):
+        return checkerboard_sweeps_planes_pallas(
+            jnp.int32(13 + i * 1_000_033), red, black, T, n,
+            J=1.0, field=0.0, periodic=periodic,
+        )
+
+    m_x, e_x = collect(xla_step)
+    m_p, e_p = collect(pallas_step)
+    assert m_p == pytest.approx(m_x, abs=0.02)
+    assert e_p == pytest.approx(e_x, abs=0.03)
+
+
+@pytest.mark.tpu
+def test_pallas_low_temperature_orders():
+    from tsu_tpu.ops.checkerboard import merge_checkerboard, split_checkerboard
+    from tsu_tpu.ops.checkerboard_pallas import checkerboard_sweeps_planes_pallas
+
+    red, black = split_checkerboard(jnp.ones((64, 64), jnp.float32))
+    red, black = checkerboard_sweeps_planes_pallas(
+        jnp.int32(3), red, black, 0.5, 50, J=1.0, field=0.0, periodic=True
+    )
+    m = float(jnp.mean(merge_checkerboard(red, black)))
+    assert abs(m) > 0.95
+
+
+@pytest.mark.tpu
+def test_pallas_bits_are_unbiased_at_infinite_temperature():
+    """T -> inf: p_up = 1/2 exactly; sampled mean must be ~0 and spins must
+    not be constant (regression test for the int32-shift PRNG sign bug)."""
+    from tsu_tpu.ops.checkerboard import merge_checkerboard, split_checkerboard
+    from tsu_tpu.ops.checkerboard_pallas import checkerboard_sweeps_planes_pallas
+
+    red, black = split_checkerboard(jnp.ones((256, 256), jnp.float32))
+    red, black = checkerboard_sweeps_planes_pallas(
+        jnp.int32(11), red, black, 1e9, 2, J=1.0, field=0.0, periodic=True
+    )
+    lat = np.asarray(merge_checkerboard(red, black))
+    assert abs(lat.mean()) < 0.02
+    assert lat.std() > 0.9

@@ -1,0 +1,158 @@
+"""ML benchmarks: BNN regression quality and calibration
+(reference: tsu/benchmarks/ml.py).
+
+Tasks: sinusoid, heteroscedastic noise, extrapolation.
+Metrics: MSE, R^2, expected calibration error (ECE), 95% interval coverage,
+Gaussian NLL, and the extrapolation uncertainty ratio.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List
+
+import numpy as np
+
+from tsu_tpu.models.ml import BayesianRegressor
+
+
+@dataclass
+class MLResult:
+    """One ML benchmark outcome (cf. tsu/benchmarks/ml.py:21-85)."""
+
+    name: str
+    mse: float
+    r2: float
+    ece: float
+    coverage_95: float
+    nll: float
+    time_elapsed: float
+    extra: Dict = field(default_factory=dict)
+
+    def summary(self) -> dict:
+        return {
+            "name": self.name,
+            "mse": round(self.mse, 4),
+            "r2": round(self.r2, 4),
+            "ece": round(self.ece, 4),
+            "coverage_95": round(self.coverage_95, 3),
+            "nll": round(self.nll, 4),
+            "time_s": round(self.time_elapsed, 2),
+            **self.extra,
+        }
+
+
+def expected_calibration_error(y_true, mean, std, n_bins: int = 10) -> float:
+    """ECE over central-interval confidence levels
+    (cf. tsu/benchmarks/ml.py:332-372)."""
+    from scipy import stats
+
+    y_true = np.asarray(y_true).ravel()
+    mean = np.asarray(mean).ravel()
+    std = np.maximum(np.asarray(std).ravel(), 1e-8)
+    levels = np.linspace(0.05, 0.95, n_bins)
+    ece = 0.0
+    for p in levels:
+        z = stats.norm.ppf(0.5 + p / 2)
+        observed = np.mean(np.abs(y_true - mean) <= z * std)
+        ece += abs(observed - p)
+    return float(ece / n_bins)
+
+
+def gaussian_nll(y_true, mean, std) -> float:
+    y_true = np.asarray(y_true).ravel()
+    mean = np.asarray(mean).ravel()
+    std = np.maximum(np.asarray(std).ravel(), 1e-6)
+    return float(np.mean(0.5 * np.log(2 * np.pi * std**2)
+                         + (y_true - mean) ** 2 / (2 * std**2)))
+
+
+class MLBenchmark:
+    """BNN regression benchmark suite (cf. tsu/benchmarks/ml.py:374-435)."""
+
+    def __init__(self, seed: int = 0):
+        self.seed = seed
+        self.results: List[MLResult] = []
+
+    def _evaluate(self, name, reg, x_test, y_test, t_elapsed,
+                  extra=None) -> MLResult:
+        res = reg.predict(x_test, n_samples=100)
+        mean = res.mean.ravel()
+        std = res.std.ravel()
+        y = np.asarray(y_test).ravel()
+        mse = float(np.mean((mean - y) ** 2))
+        var = float(np.var(y))
+        r2 = 1.0 - mse / var if var > 0 else 0.0
+        lo = np.percentile(res.samples, 2.5, axis=0).ravel()
+        hi = np.percentile(res.samples, 97.5, axis=0).ravel()
+        result = MLResult(
+            name=name,
+            mse=mse,
+            r2=r2,
+            ece=expected_calibration_error(y, mean, std),
+            coverage_95=float(np.mean((y >= lo) & (y <= hi))),
+            nll=gaussian_nll(y, mean, std),
+            time_elapsed=t_elapsed,
+            extra=extra or {},
+        )
+        self.results.append(result)
+        return result
+
+    def benchmark_sinusoid(self, n_train: int = 100, n_epochs: int = 200) -> MLResult:
+        """y = sin(3x) + noise (cf. tsu/benchmarks/ml.py task 1)."""
+        rng = np.random.default_rng(self.seed)
+        x = rng.uniform(-1, 1, (n_train, 1)).astype(np.float32)
+        y = (np.sin(3 * x) + 0.1 * rng.normal(size=x.shape)).astype(np.float32)
+        x_test = np.linspace(-1, 1, 200)[:, None].astype(np.float32)
+        y_test = np.sin(3 * x_test)
+        reg = BayesianRegressor(1, [32, 32], temperature=0.2, seed=self.seed)
+        t0 = time.perf_counter()
+        reg.fit(x, y, n_epochs=n_epochs, learning_rate=0.01, kl_weight=1e-4)
+        return self._evaluate("sinusoid", reg, x_test, y_test,
+                              time.perf_counter() - t0)
+
+    def benchmark_heteroscedastic(self, n_train: int = 150,
+                                  n_epochs: int = 200) -> MLResult:
+        """Noise grows with |x| (cf. tsu/benchmarks/ml.py task 2)."""
+        rng = np.random.default_rng(self.seed + 1)
+        x = rng.uniform(-2, 2, (n_train, 1)).astype(np.float32)
+        y = (0.5 * x**2 + np.abs(x) * 0.3 * rng.normal(size=x.shape)).astype(
+            np.float32
+        )
+        x_test = np.linspace(-2, 2, 200)[:, None].astype(np.float32)
+        y_test = 0.5 * x_test**2
+        reg = BayesianRegressor(1, [32, 32], temperature=0.3, seed=self.seed)
+        t0 = time.perf_counter()
+        reg.fit(x, y, n_epochs=n_epochs, learning_rate=0.01, kl_weight=1e-4)
+        return self._evaluate("heteroscedastic", reg, x_test, y_test,
+                              time.perf_counter() - t0)
+
+    def benchmark_extrapolation(self, n_train: int = 80,
+                                n_epochs: int = 200) -> MLResult:
+        """Train on [-1,1], test on [-3,3]: uncertainty must grow out of
+        distribution (cf. tsu/benchmarks/ml.py task 3)."""
+        rng = np.random.default_rng(self.seed + 2)
+        x = rng.uniform(-1, 1, (n_train, 1)).astype(np.float32)
+        y = (x**3 + 0.05 * rng.normal(size=x.shape)).astype(np.float32)
+        x_test = np.linspace(-3, 3, 200)[:, None].astype(np.float32)
+        y_test = x_test**3
+        reg = BayesianRegressor(1, [32, 32], temperature=0.5, seed=self.seed)
+        t0 = time.perf_counter()
+        reg.fit(x, y, n_epochs=n_epochs, learning_rate=0.01, kl_weight=1e-3)
+        elapsed = time.perf_counter() - t0
+        res = reg.predict(x_test, n_samples=100)
+        std = res.std.ravel()
+        in_dist = std[np.abs(x_test.ravel()) <= 1.0].mean()
+        out_dist = std[np.abs(x_test.ravel()) > 2.0].mean()
+        return self._evaluate(
+            "extrapolation", reg, x_test, y_test, elapsed,
+            extra={"uncertainty_ratio": round(float(out_dist / max(in_dist, 1e-8)), 2)},
+        )
+
+    def run_all_benchmarks(self, quick: bool = False) -> List[MLResult]:
+        epochs = 60 if quick else 200
+        self.benchmark_sinusoid(n_epochs=epochs)
+        self.benchmark_heteroscedastic(n_epochs=epochs)
+        self.benchmark_extrapolation(n_epochs=epochs)
+        return self.results

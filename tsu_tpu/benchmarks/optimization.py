@@ -1,0 +1,231 @@
+"""Optimization benchmarks (reference: tsu/benchmarks/optimization.py).
+
+Problems: MAX-CUT, graph 3-coloring, number partitioning — all solved with
+*real annealing* on their Ising/QUBO encodings. The reference's coloring
+benchmark only assigned random colors (quirk Q6, optimization.py:211-223);
+here coloring is a one-hot QUBO annealed like everything else. The MAX-CUT
+"gap" is reported against a greedy bound, clearly labeled as a bound, not an
+optimum (quirk Q7).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List
+
+import jax.numpy as jnp
+import numpy as np
+
+from tsu_tpu.api import MaxCutProblem, optimize
+from tsu_tpu.energy import ising_to_boltzmann
+from tsu_tpu.rng import as_key
+from tsu_tpu.samplers.annealing import simulated_annealing_dense
+
+
+@dataclass
+class OptimizationResult:
+    """One optimization benchmark outcome
+    (cf. tsu/benchmarks/optimization.py:21-79)."""
+
+    name: str
+    n_variables: int
+    objective: float
+    reference_bound: float
+    gap_vs_bound: float
+    time_elapsed: float
+    extra: Dict = field(default_factory=dict)
+
+    def summary(self) -> dict:
+        return {
+            "name": self.name,
+            "n_variables": self.n_variables,
+            "objective": round(self.objective, 4),
+            "reference_bound": round(self.reference_bound, 4),
+            "gap_vs_bound": round(self.gap_vs_bound, 4),
+            "time_ms": round(self.time_elapsed * 1e3, 2),
+            **self.extra,
+        }
+
+
+def greedy_maxcut_bound(W: np.ndarray, n_restarts: int = 10, seed: int = 0) -> float:
+    """Greedy local-search cut value — a LOWER bound on the max cut
+    (cf. tsu/benchmarks/optimization.py:289-334, honestly labeled)."""
+    rng = np.random.default_rng(seed)
+    n = W.shape[0]
+    best = 0.0
+    for _ in range(n_restarts):
+        s = rng.choice([-1.0, 1.0], n)
+        improved = True
+        while improved:
+            improved = False
+            for i in range(n):
+                # Gain from flipping spin i.
+                gain = s[i] * (W[i] @ s)
+                if gain > 0:
+                    s[i] = -s[i]
+                    improved = True
+        cut = 0.25 * float(np.sum(W * (1 - np.outer(s, s))))
+        best = max(best, cut)
+    return best
+
+
+def coloring_qubo(adjacency: np.ndarray, n_colors: int, penalty: float = 4.0):
+    """One-hot QUBO for graph coloring as a bit-Boltzmann (J, h).
+
+    Variables x_{v,c}; energy
+        A * sum_v (1 - sum_c x_vc)^2 + B * sum_{(u,v) in E, c} x_uc x_vc.
+    Expanding the one-hot penalty gives quadratic terms A*x_vc*x_vc' and
+    linear terms -A*x_vc. Mapped to E(b) = -1/2 b^T J b - h^T b:
+        J[(v,c),(v,c')] = -2A (c != c'), J[(u,c),(v,c)] = -B for edges,
+        h[(v,c)] = A.
+    """
+    A = penalty
+    B = penalty
+    n = adjacency.shape[0]
+    N = n * n_colors
+    J = np.zeros((N, N), np.float32)
+    h = np.zeros(N, np.float32)
+
+    def vid(v, c):
+        return v * n_colors + c
+
+    for v in range(n):
+        for c in range(n_colors):
+            h[vid(v, c)] = A
+            for c2 in range(c + 1, n_colors):
+                J[vid(v, c), vid(v, c2)] = -2.0 * A
+                J[vid(v, c2), vid(v, c)] = -2.0 * A
+    for u in range(n):
+        for v in range(u + 1, n):
+            if adjacency[u, v]:
+                for c in range(n_colors):
+                    J[vid(u, c), vid(v, c)] = -B
+                    J[vid(v, c), vid(u, c)] = -B
+    return J, h
+
+
+def count_coloring_conflicts(adjacency: np.ndarray, bits: np.ndarray,
+                             n_colors: int) -> int:
+    """Conflicts = same-colored edges; uncolored/multi-colored nodes get the
+    argmax color of their one-hot block."""
+    n = adjacency.shape[0]
+    colors = bits.reshape(n, n_colors).argmax(axis=1)
+    conflicts = 0
+    for u in range(n):
+        for v in range(u + 1, n):
+            if adjacency[u, v] and colors[u] == colors[v]:
+                conflicts += 1
+    return conflicts
+
+
+class OptimizationBenchmark:
+    """Optimization benchmark suite
+    (cf. tsu/benchmarks/optimization.py:336-399)."""
+
+    def __init__(self, seed: int = 0, n_chains: int = 16):
+        self.seed = seed
+        self.n_chains = n_chains
+        self.results: List[OptimizationResult] = []
+
+    def benchmark_maxcut(self, n_nodes: int = 15, edge_prob: float = 0.5,
+                         n_steps: int = 500) -> OptimizationResult:
+        rng = np.random.default_rng(self.seed)
+        W = (rng.random((n_nodes, n_nodes)) < edge_prob).astype(np.float32)
+        W = np.triu(W, 1)
+        W = W + W.T
+        problem = MaxCutProblem(W)
+        t0 = time.perf_counter()
+        out = optimize(problem, n_steps=n_steps, n_chains=self.n_chains,
+                       seed=self.seed)
+        elapsed = time.perf_counter() - t0
+        cut = problem.cut_value(out["best_solution"])
+        bound = greedy_maxcut_bound(W, seed=self.seed)
+        result = OptimizationResult(
+            name="maxcut",
+            n_variables=n_nodes,
+            objective=cut,
+            reference_bound=bound,
+            gap_vs_bound=(bound - cut) / max(bound, 1e-9),
+            time_elapsed=elapsed,
+            extra={"bound_type": "greedy_lower_bound"},
+        )
+        self.results.append(result)
+        return result
+
+    def benchmark_graph_coloring(self, n_nodes: int = 10, n_colors: int = 3,
+                                 edge_prob: float = 0.4,
+                                 n_steps: int = 800) -> OptimizationResult:
+        rng = np.random.default_rng(self.seed + 1)
+        adj = (rng.random((n_nodes, n_nodes)) < edge_prob).astype(np.float32)
+        adj = np.triu(adj, 1)
+        adj = adj + adj.T
+        J, h = coloring_qubo(adj, n_colors)
+        t0 = time.perf_counter()
+        bits, _ = simulated_annealing_dense(
+            as_key(self.seed), jnp.asarray(J), jnp.asarray(h),
+            T_initial=5.0, T_final=0.05, n_steps=n_steps,
+            n_chains=self.n_chains,
+        )
+        elapsed = time.perf_counter() - t0
+        conflicts = count_coloring_conflicts(adj, np.asarray(bits), n_colors)
+        # Random-assignment baseline (what the reference reported as the
+        # result itself — quirk Q6; here it is only the comparison point).
+        rand_colors = rng.integers(0, n_colors, n_nodes)
+        rand_conflicts = sum(
+            1
+            for u in range(n_nodes)
+            for v in range(u + 1, n_nodes)
+            if adj[u, v] and rand_colors[u] == rand_colors[v]
+        )
+        result = OptimizationResult(
+            name="graph_coloring",
+            n_variables=n_nodes * n_colors,
+            objective=float(conflicts),
+            reference_bound=0.0,
+            gap_vs_bound=float(conflicts),
+            time_elapsed=elapsed,
+            extra={"random_assignment_conflicts": int(rand_conflicts),
+                   "n_colors": n_colors},
+        )
+        self.results.append(result)
+        return result
+
+    def benchmark_number_partitioning(self, n_numbers: int = 15,
+                                      n_steps: int = 500) -> OptimizationResult:
+        """Minimize |sum_i s_i a_i| via Ising J = -2 a a^T
+        (cf. tsu/benchmarks/optimization.py:233-287)."""
+        rng = np.random.default_rng(self.seed + 2)
+        a = rng.integers(1, 100, n_numbers).astype(np.float32)
+        J = -2.0 * np.outer(a, a)
+        np.fill_diagonal(J, 0.0)
+        J_bit, h_bit = ising_to_boltzmann(jnp.asarray(J), jnp.zeros(n_numbers))
+        t0 = time.perf_counter()
+        bits, _ = simulated_annealing_dense(
+            as_key(self.seed), J_bit, h_bit,
+            T_initial=float(a.sum()), T_final=0.1, n_steps=n_steps,
+            n_chains=self.n_chains,
+        )
+        elapsed = time.perf_counter() - t0
+        s = 2.0 * np.asarray(bits) - 1.0
+        residual = abs(float(s @ a))
+        # Parity bound: perfect partition impossible if sum is odd.
+        best_possible = float(int(a.sum()) % 2)
+        result = OptimizationResult(
+            name="number_partitioning",
+            n_variables=n_numbers,
+            objective=residual,
+            reference_bound=best_possible,
+            gap_vs_bound=residual - best_possible,
+            time_elapsed=elapsed,
+            extra={"total_sum": float(a.sum())},
+        )
+        self.results.append(result)
+        return result
+
+    def run_all_benchmarks(self, quick: bool = False) -> List[OptimizationResult]:
+        steps = 200 if quick else 800
+        self.benchmark_maxcut(15, n_steps=steps)
+        self.benchmark_graph_coloring(10, 3, n_steps=steps)
+        self.benchmark_number_partitioning(15, n_steps=steps)
+        return self.results

@@ -1,0 +1,188 @@
+"""Demos: multimodal sampling vs MCMC, Ising phase transition, Bayesian
+inference (reference: tsu/demos.py:60-863).
+
+Each demo returns its data so notebooks/CI can assert on it; plotting is
+optional and lazy.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tsu_tpu.energy import MixtureOfGaussians
+from tsu_tpu.rng import as_key
+
+
+@dataclass
+class MultimodalDistribution:
+    """10-D, 3-mode Gaussian mixture benchmark target
+    (cf. tsu/demos.py:60-191)."""
+
+    dim: int = 10
+    n_modes: int = 3
+    separation: float = 4.0
+    sigma: float = 0.6
+    seed: int = 0
+
+    def __post_init__(self):
+        rng = np.random.default_rng(self.seed)
+        directions = rng.normal(size=(self.n_modes, self.dim))
+        directions /= np.linalg.norm(directions, axis=1, keepdims=True)
+        self.modes = (directions * self.separation).astype(np.float32)
+        self.energy = MixtureOfGaussians(
+            tuple(map(tuple, self.modes)), (self.sigma,) * self.n_modes
+        )
+
+    def mode_coverage(self, samples: np.ndarray) -> dict:
+        """Fraction of samples assigned to each mode by nearest center."""
+        d = np.linalg.norm(samples[:, None, :] - self.modes[None], axis=-1)
+        assign = d.argmin(axis=1)
+        counts = np.bincount(assign, minlength=self.n_modes)
+        fracs = counts / max(len(samples), 1)
+        return {
+            "fractions": fracs,
+            "n_modes_covered": int((fracs > 0.05).sum()),
+        }
+
+
+def metropolis_hastings(rng, energy_fn, x0, n_samples, step=0.5, n_burnin=500):
+    """Plain random-walk MH baseline (cf. tsu/demos.py:118-157)."""
+    x = np.asarray(x0, dtype=np.float64)
+    e = float(energy_fn(jnp.asarray(x, dtype=jnp.float32)))
+    out = np.empty((n_samples, x.shape[0]))
+    accepts = 0
+    for t in range(n_burnin + n_samples):
+        prop = x + step * rng.normal(size=x.shape)
+        e_new = float(energy_fn(jnp.asarray(prop, dtype=jnp.float32)))
+        if np.log(rng.random()) < e - e_new:
+            x, e = prop, e_new
+            accepts += 1
+        if t >= n_burnin:
+            out[t - n_burnin] = x
+    return out, accepts / (n_burnin + n_samples)
+
+
+def demo_continuous_sampling(n_samples: int = 2000, seed: int = 0,
+                             make_plots: bool = False) -> dict:
+    """Multimodal sampling: annealed SMC + tempered Langevin vs MH
+    (cf. tsu/demos.py:582-779)."""
+    from tsu_tpu.samplers.smc import annealed_smc
+
+    dist = MultimodalDistribution(seed=seed)
+    key = as_key(seed)
+    results = {}
+
+    # TSU engine: annealed SMC population — built for multimodality.
+    t0 = time.perf_counter()
+    particles = dist.separation * jax.random.normal(
+        jax.random.fold_in(key, 0), (n_samples, dist.dim)
+    )
+    out = annealed_smc(
+        jax.random.fold_in(key, 1), particles, energy_fn=dist.energy,
+        n_steps=60, n_moves=5, dt=0.02, base_sigma=dist.separation,
+    )
+    tsu_samples = np.asarray(out["particles"])
+    t_tsu = time.perf_counter() - t0
+    results["tsu"] = {
+        "samples": tsu_samples,
+        "time_s": t_tsu,
+        "coverage": dist.mode_coverage(tsu_samples),
+    }
+
+    # MCMC baseline.
+    rng = np.random.default_rng(seed)
+    t0 = time.perf_counter()
+    mh_samples, acc = metropolis_hastings(
+        rng, dist.energy, np.zeros(dist.dim), min(n_samples, 2000)
+    )
+    results["mcmc"] = {
+        "samples": mh_samples,
+        "time_s": time.perf_counter() - t0,
+        "acceptance": acc,
+        "coverage": dist.mode_coverage(mh_samples),
+    }
+
+    print("demo_continuous_sampling:")
+    print(f"  tsu  (SMC): {results['tsu']['coverage']['n_modes_covered']}/"
+          f"{dist.n_modes} modes, {t_tsu:.2f}s")
+    print(f"  mcmc (MH):  {results['mcmc']['coverage']['n_modes_covered']}/"
+          f"{dist.n_modes} modes, {results['mcmc']['time_s']:.2f}s "
+          f"(acc {acc:.2f})")
+
+    if make_plots:
+        from tsu_tpu.visualization import plot_sampling_diagnostics
+
+        plot_sampling_diagnostics(tsu_samples[:, 0], show=False,
+                                  title="TSU samples, dim 0")
+    return results
+
+
+def demo_phase_transition(size: int = 32, n_temps: int = 12, seed: int = 0,
+                          make_plots: bool = False) -> dict:
+    """Ising phase transition across T_c (the killer demo,
+    cf. tsu/models/ising.py:424-476)."""
+    from tsu_tpu.models.ising import demonstrate_phase_transition
+    from tsu_tpu.oracle import onsager_magnetization
+
+    temps = np.linspace(1.0, 3.6, n_temps)
+    res = demonstrate_phase_transition([size], temps, n_samples=48, seed=seed)
+    m = res[size]["magnetization"]
+    onsager = np.array([onsager_magnetization(float(T)) for T in temps])
+    print("demo_phase_transition:")
+    for T, mi, oi in zip(temps, m, onsager):
+        bar = "#" * int(mi * 30)
+        print(f"  T={T:5.2f} |M|={mi:6.3f} (onsager {oi:5.3f}) {bar}")
+    if make_plots:
+        from tsu_tpu.visualization import plot_phase_transition
+
+        plot_phase_transition(temps, m, critical_temp=2.269, show=False)
+    return {"temperatures": temps, "magnetization": m, "onsager": onsager}
+
+
+def demo_bayesian_inference(seed: int = 0, make_plots: bool = False) -> dict:
+    """Bayesian linear-regression posterior via Langevin sampling
+    (cf. tsu/demos.py:793-856)."""
+    from tsu_tpu.api import BayesianSampler
+    from tsu_tpu.config import TSUConfig
+
+    rng = np.random.default_rng(seed)
+    theta_true = np.array([2.0, -1.0])
+    X = rng.normal(0, 1, (100, 2))
+    y = X @ theta_true + 0.1 * rng.normal(size=100)
+
+    sampler = BayesianSampler(
+        X, y, noise_std=0.1, prior_std=5.0, seed=seed,
+        config=TSUConfig(n_chains=16, n_burnin=500, n_steps=200, dt=0.01),
+    )
+    result = sampler.sample(2000)
+    post_mean = result.samples.mean(axis=0)
+    post_std = result.samples.std(axis=0)
+    print("demo_bayesian_inference:")
+    for i, (t, m, s) in enumerate(zip(theta_true, post_mean, post_std)):
+        print(f"  theta[{i}]: true={t:+.3f} posterior={m:+.3f} ± {s:.3f}")
+    if make_plots:
+        from tsu_tpu.visualization import plot_sampling_diagnostics
+
+        plot_sampling_diagnostics(result.samples[:, 0], show=False)
+    return {
+        "theta_true": theta_true,
+        "posterior_mean": post_mean,
+        "posterior_std": post_std,
+        "time_s": result.time_elapsed,
+    }
+
+
+def run_all_demos(seed: int = 0):
+    demo_continuous_sampling(seed=seed)
+    demo_phase_transition(seed=seed)
+    demo_bayesian_inference(seed=seed)
+
+
+if __name__ == "__main__":
+    run_all_demos()

@@ -1,0 +1,410 @@
+"""Ising models: general graph (dense J), 1-D chain, and 2-D grid.
+
+API parity with the reference (tsu/models/ising.py:39-476) with two structural
+upgrades:
+
+* Sampling is **native in spins** with the exact spin↔bit mapping available
+  (tsu_tpu/energy.py:ising_to_boltzmann) — the reference's bit-bias carries a
+  sign bug (quirk Q1, tsu/models/ising.py:140-148); the mapping here is
+  derived and oracle-validated.
+* ``IsingGrid`` uses the stencil checkerboard engine (O(N) memory, Pallas/XLA
+  vectorized sweeps, optionally spatially sharded) instead of materializing a
+  dense N^2 coupling matrix (tsu/models/ising.py:64) — a 4096^2 lattice is a
+  64 MB state here, not a 2.3e14-entry matrix.
+
+Observable definitions match the reference exactly
+(tsu/models/ising.py:183-233): M = <sum s>/N, C = Var(E)/(T^2 N),
+chi = Var(m_per_spin) * N / T.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tsu_tpu.config import ConfigurationError, IsingConfig, SamplingError
+from tsu_tpu.energy import bits_to_spins, ising_to_boltzmann, spins_to_bits
+from tsu_tpu.rng import as_key
+from tsu_tpu.samplers.gibbs import dense_gibbs_sample
+from tsu_tpu.samplers.annealing import simulated_annealing_dense
+
+
+class IsingModel:
+    """General-graph Ising model with dense couplings (small systems).
+
+    E(s) = -1/2 sum_ij J_ij s_i s_j - sum_i h_i s_i over s in {-1,+1}^n
+    (cf. tsu/models/ising.py:39-75). The factor 1/2 accounts for the symmetric
+    double-count; ``set_coupling`` writes both (i,j) and (j,i).
+    """
+
+    def __init__(self, n_spins: int, config: Optional[IsingConfig] = None,
+                 seed: Optional[int] = None):
+        if n_spins <= 0:
+            raise ConfigurationError(f"n_spins must be positive, got {n_spins}")
+        self.n_spins = n_spins
+        self.config = config or IsingConfig()
+        self.J = np.zeros((n_spins, n_spins), dtype=np.float32)
+        self.h = np.zeros(n_spins, dtype=np.float32)
+        self._key = as_key(seed)
+
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    # -- construction (tsu/models/ising.py:77-97) ---------------------------
+
+    def set_coupling(self, i: int, j: int, strength: float):
+        """Set symmetric coupling J_ij = J_ji = strength."""
+        if not (0 <= i < self.n_spins and 0 <= j < self.n_spins):
+            raise ConfigurationError(
+                f"spin indices ({i},{j}) out of range for n_spins={self.n_spins}"
+            )
+        if i == j:
+            raise ConfigurationError("self-coupling J_ii is not allowed")
+        self.J[i, j] = strength
+        self.J[j, i] = strength
+
+    def set_external_field(self, field: np.ndarray):
+        """Set per-spin external field h."""
+        field = np.asarray(field, dtype=np.float32)
+        if field.shape != (self.n_spins,):
+            raise ConfigurationError(
+                f"field shape {field.shape} does not match n_spins={self.n_spins}"
+            )
+        self.h = field
+
+    # -- energetics ---------------------------------------------------------
+
+    def energy(self, state: np.ndarray) -> float:
+        """E(s) = -1/2 s^T J s - h^T s (cf. tsu/models/ising.py:99-117)."""
+        s = np.asarray(state, dtype=np.float64)
+        if s.shape[-1] != self.n_spins:
+            raise SamplingError(
+                f"state length {s.shape[-1]} does not match n_spins={self.n_spins}"
+            )
+        return float(-0.5 * s @ self.J @ s - self.h @ s)
+
+    def energies(self, samples: np.ndarray) -> np.ndarray:
+        """Vectorized energies over a (n_samples, n) batch (on device)."""
+        s = jnp.asarray(samples, dtype=jnp.float32)
+        Js = s @ jnp.asarray(self.J)
+        return np.asarray(
+            -0.5 * jnp.einsum("ki,ki->k", Js, s) - s @ jnp.asarray(self.h)
+        )
+
+    # -- spin <-> bit transforms (tsu/models/ising.py:119-148, corrected) ---
+
+    def _spins_to_bits(self, spins):
+        return np.asarray(spins_to_bits(jnp.asarray(spins, dtype=jnp.float32)))
+
+    def _bits_to_spins(self, bits):
+        return np.asarray(bits_to_spins(jnp.asarray(bits, dtype=jnp.float32)))
+
+    def _get_bit_coupling(self) -> np.ndarray:
+        J_bit, _ = ising_to_boltzmann(self.J, self.h)
+        return np.asarray(J_bit)
+
+    def _get_bit_bias(self) -> np.ndarray:
+        _, h_bit = ising_to_boltzmann(self.J, self.h)
+        return np.asarray(h_bit)
+
+    # -- sampling (tsu/models/ising.py:150-181) -----------------------------
+
+    def sample(
+        self,
+        n_samples: int = 100,
+        initial_state: Optional[np.ndarray] = None,
+        temperature: Optional[float] = None,
+    ) -> np.ndarray:
+        """Sample spin configurations; returns (n_samples, n_spins) in {-1,+1}.
+
+        Temperature overrides the config without mutating it (the reference
+        mutates configs to sweep T — quirk Q8).
+        """
+        T = self.config.temperature if temperature is None else temperature
+        J_bit, h_bit = ising_to_boltzmann(self.J, self.h)
+        n_chains = self.config.n_chains
+        per_chain = -(-n_samples // n_chains)
+
+        key = self._next_key()
+        if initial_state is not None:
+            bits0 = jnp.tile(
+                jnp.asarray(self._spins_to_bits(initial_state), dtype=jnp.float32),
+                (n_chains, 1),
+            )
+        else:
+            bits0 = jax.random.bernoulli(
+                jax.random.fold_in(key, 0), 0.5, (n_chains, self.n_spins)
+            ).astype(jnp.float32)
+
+        bits = dense_gibbs_sample(
+            jax.random.fold_in(key, 1),
+            jnp.asarray(J_bit), jnp.asarray(h_bit), bits0,
+            n_samples=per_chain,
+            temperature=T,
+            n_burnin=self.config.n_burnin,
+            n_sweeps=self.config.n_sweeps,
+        )
+        bits = np.asarray(bits).transpose(1, 0, 2).reshape(-1, self.n_spins)[:n_samples]
+        return self._bits_to_spins(bits)
+
+    # -- observables (tsu/models/ising.py:183-233) --------------------------
+
+    def magnetization(self, samples: np.ndarray) -> float:
+        """M = <sum_i s_i> / N."""
+        return float(np.mean(np.sum(samples, axis=1)) / self.n_spins)
+
+    def specific_heat(self, samples: np.ndarray, temperature: Optional[float] = None) -> float:
+        """C = (<E^2> - <E>^2) / (T^2 N), energies batched on device."""
+        T = self.config.temperature if temperature is None else temperature
+        e = self.energies(samples)
+        return float((np.mean(e**2) - np.mean(e) ** 2) / (T**2 * self.n_spins))
+
+    def susceptibility(self, samples: np.ndarray, temperature: Optional[float] = None) -> float:
+        """chi = (<m^2> - <m>^2) N / T with m the per-spin magnetization."""
+        T = self.config.temperature if temperature is None else temperature
+        m = np.sum(samples, axis=1) / self.n_spins
+        return float((np.mean(m**2) - np.mean(m) ** 2) * self.n_spins / T)
+
+    def find_ground_state(self, n_steps: int = 1000) -> Tuple[np.ndarray, float]:
+        """Simulated-annealing ground-state search
+        (cf. tsu/models/ising.py:235-262). Returns (state, energy)."""
+        J_bit, h_bit = ising_to_boltzmann(self.J, self.h)
+        best_bits, _ = simulated_annealing_dense(
+            self._next_key(), jnp.asarray(J_bit), jnp.asarray(h_bit),
+            T_initial=5.0, T_final=0.01, n_steps=n_steps,
+            n_chains=max(self.config.n_chains, 4),
+        )
+        state = self._bits_to_spins(np.asarray(best_bits))
+        return state, self.energy(state)
+
+
+class IsingChain(IsingModel):
+    """1-D nearest-neighbor chain (cf. tsu/models/ising.py:265-304)."""
+
+    def __init__(self, n_spins: int, J: float = 1.0,
+                 config: Optional[IsingConfig] = None, seed: Optional[int] = None):
+        super().__init__(n_spins, config, seed)
+        self.coupling_strength = J
+        for i in range(n_spins - 1):
+            self.set_coupling(i, i + 1, J)
+
+    def visualize(self, state: np.ndarray, title: str = "Ising Chain"):
+        """Render the chain as colored squares; returns a Figure."""
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(figsize=(max(6, self.n_spins * 0.3), 1.5))
+        ax.imshow(np.asarray(state)[None, :], cmap="coolwarm", vmin=-1, vmax=1,
+                  aspect="auto")
+        ax.set_title(title)
+        ax.set_yticks([])
+        return fig
+
+
+class IsingGrid(IsingModel):
+    """2-D nearest-neighbor grid on the checkerboard engine
+    (cf. tsu/models/ising.py:307-421).
+
+    For even-sized grids, sampling runs the vectorized checkerboard sweeps
+    (Pallas kernel on TPU, XLA elsewhere) on the stencil representation —
+    no dense J is ever built. Odd-sized grids fall back to the dense path.
+    """
+
+    def __init__(
+        self,
+        shape: Tuple[int, int],
+        coupling_strength: float = 1.0,
+        config: Optional[IsingConfig] = None,
+        periodic: bool = False,
+        seed: Optional[int] = None,
+        use_pallas: Optional[bool] = None,
+    ):
+        rows, cols = shape
+        if rows <= 0 or cols <= 0:
+            raise ConfigurationError(f"grid shape must be positive, got {shape}")
+        self.shape = (rows, cols)
+        self.periodic = periodic
+        self.coupling_strength = coupling_strength
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        self._use_pallas = use_pallas
+        self._fast = rows % 2 == 0 and cols % 2 == 0
+
+        if self._fast:
+            # Stencil path: skip the dense-J allocation entirely.
+            n = rows * cols
+            if config is None:
+                config = IsingConfig(coupling_strength=coupling_strength)
+            self.n_spins = n
+            self.config = config
+            self.J = None  # dense J intentionally absent on the fast path
+            self.h = np.zeros(n, dtype=np.float32)
+            self._key = as_key(seed)
+        else:
+            super().__init__(rows * cols, config, seed)
+            self._build_dense()
+
+    # -- helpers ------------------------------------------------------------
+
+    def _build_dense(self):
+        """Dense J from the grid stencil (odd-sized fallback; small grids)."""
+        rows, cols = self.shape
+        if rows * cols > 4096:
+            raise ConfigurationError(
+                "dense fallback limited to 4096 spins; use even grid dimensions "
+                "for the stencil checkerboard path"
+            )
+        J = self.coupling_strength
+        for r in range(rows):
+            for c in range(cols):
+                i = r * cols + c
+                if c + 1 < cols:
+                    self.set_coupling(i, i + 1, J)
+                elif self.periodic and cols > 2:
+                    self.set_coupling(i, r * cols, J)
+                if r + 1 < rows:
+                    self.set_coupling(i, i + cols, J)
+                elif self.periodic and rows > 2:
+                    self.set_coupling(i, c, J)
+
+    def _flat_to_grid(self, flat_state: np.ndarray) -> np.ndarray:
+        return np.asarray(flat_state).reshape(self.shape)
+
+    def _grid_to_flat(self, grid_state: np.ndarray) -> np.ndarray:
+        return np.asarray(grid_state).reshape(-1)
+
+    # -- energetics / sampling ---------------------------------------------
+
+    def energy(self, state: np.ndarray) -> float:
+        if not self._fast:
+            return super().energy(state)
+        from tsu_tpu.energy import lattice_ising_energy
+
+        s = jnp.asarray(state, dtype=jnp.float32).reshape(self.shape)
+        return float(
+            lattice_ising_energy(s, J=self.coupling_strength, h=0.0,
+                                 periodic=self.periodic)
+        )
+
+    def energies(self, samples: np.ndarray) -> np.ndarray:
+        if not self._fast:
+            return super().energies(samples)
+        from tsu_tpu.ops.checkerboard import lattice_energy_batch
+
+        s = jnp.asarray(samples, dtype=jnp.float32).reshape((-1,) + self.shape)
+        return np.asarray(
+            lattice_energy_batch(s, J=self.coupling_strength, field=0.0,
+                                 periodic=self.periodic)
+        )
+
+    def sample(
+        self,
+        n_samples: int = 100,
+        initial_state: Optional[np.ndarray] = None,
+        temperature: Optional[float] = None,
+    ) -> np.ndarray:
+        """Sample spin configurations; returns (n_samples, rows*cols) flat
+        spins, matching the reference's flat-state convention
+        (tsu/models/ising.py:150-181)."""
+        if not self._fast:
+            return super().sample(n_samples, initial_state, temperature)
+
+        from tsu_tpu.models.lattice_sampler import sample_grid
+
+        T = self.config.temperature if temperature is None else temperature
+        key = self._next_key()
+        if initial_state is not None:
+            lat0 = jnp.asarray(initial_state, dtype=jnp.float32).reshape(self.shape)
+        else:
+            lat0 = jnp.where(
+                jax.random.bernoulli(jax.random.fold_in(key, 0), 0.5, self.shape),
+                1.0, -1.0,
+            ).astype(jnp.float32)
+
+        states = sample_grid(
+            jax.random.fold_in(key, 1), lat0,
+            n_samples=n_samples,
+            temperature=T,
+            J=self.coupling_strength,
+            n_burnin=self.config.n_burnin,
+            n_sweeps=self.config.n_sweeps,
+            periodic=self.periodic,
+            use_pallas=self._use_pallas,
+        )
+        return np.asarray(states).reshape(n_samples, -1)
+
+    def find_ground_state(self, n_steps: int = 1000) -> Tuple[np.ndarray, float]:
+        if not self._fast:
+            return super().find_ground_state(n_steps)
+        from tsu_tpu.samplers.annealing import anneal_lattice
+
+        best, e = anneal_lattice(
+            self._next_key(), self.shape,
+            J=self.coupling_strength, T_initial=5.0, T_final=0.05,
+            n_steps=n_steps, n_chains=2, periodic=self.periodic,
+        )
+        return self._grid_to_flat(np.asarray(best)), float(e)
+
+    # -- grid-specific extras (tsu/models/ising.py:371-421) -----------------
+
+    def visualize(self, state: np.ndarray, title: str = "Ising Grid",
+                  show_colorbar: bool = True):
+        """Render a configuration as an image; returns a Figure."""
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(figsize=(5, 5))
+        im = ax.imshow(self._flat_to_grid(state), cmap="coolwarm", vmin=-1, vmax=1)
+        ax.set_title(title)
+        if show_colorbar:
+            fig.colorbar(im, ax=ax)
+        return fig
+
+    def compute_domains(self, state: np.ndarray) -> int:
+        """Count connected domains of aligned spins (4-connectivity,
+        cf. tsu/models/ising.py:403-421)."""
+        from scipy import ndimage
+
+        grid = self._flat_to_grid(state)
+        n_domains = 0
+        for val in (-1.0, 1.0):
+            _, n = ndimage.label(grid == val)
+            n_domains += n
+        return int(n_domains)
+
+
+def demonstrate_phase_transition(
+    sizes: List[int] = [8, 16, 32],
+    temperatures: Optional[np.ndarray] = None,
+    n_samples: int = 64,
+    seed: int = 0,
+) -> dict:
+    """Scan temperature across T_c ≈ 2.269 for several grid sizes
+    (cf. tsu/models/ising.py:424-476).
+
+    Returns {size: {"temperatures", "magnetization", "susceptibility",
+    "specific_heat"}}. Uses a fresh grid per (size, T) so runs stay
+    functional; on TPU each T point is one compiled scan.
+    """
+    if temperatures is None:
+        temperatures = np.linspace(0.5, 4.0, 15)
+    results = {}
+    for idx, size in enumerate(sizes):
+        mags, chis, cs = [], [], []
+        grid = IsingGrid((size, size), coupling_strength=1.0, periodic=True,
+                         seed=seed + idx,
+                         config=IsingConfig(n_burnin=200, n_sweeps=2))
+        for T in temperatures:
+            samples = grid.sample(n_samples=n_samples, temperature=float(T))
+            mags.append(abs(grid.magnetization(samples)))
+            chis.append(grid.susceptibility(samples, temperature=float(T)))
+            cs.append(grid.specific_heat(samples, temperature=float(T)))
+        results[size] = {
+            "temperatures": np.asarray(temperatures),
+            "magnetization": np.asarray(mags),
+            "susceptibility": np.asarray(chis),
+            "specific_heat": np.asarray(cs),
+        }
+    return results

@@ -1,0 +1,395 @@
+"""Bayesian neural networks trained by stochastic variational inference.
+
+API parity with the reference (tsu/ml.py), rebuilt as a true ELBO optimizer:
+
+* The reference's "VI" never learns sigma — posterior std just decays by
+  0.999/step (quirk Q5, tsu/ml.py:516-523) and gradients come from
+  hand-written backprop (tsu/ml.py:458-539). Here both mu and sigma (via
+  softplus(rho)) are learned with ``jax.value_and_grad`` of the ELBO and an
+  optax optimizer, vmapped over MC weight samples — the algorithm the
+  reference's own documentation describes (PDF Algorithm 4).
+* Loss matches the reference's objective shape: MSE + kl_weight * KL / N
+  (tsu/ml.py:321-356), so hyperparameters transfer.
+* Training steps are jitted once; minibatches can shard over a ``chains``/data
+  mesh axis with gradient psum (data-parallel; see tsu_tpu/parallel/).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from tsu_tpu.config import ConfigurationError
+from tsu_tpu.rng import as_key
+
+
+@dataclass
+class PosteriorSample:
+    """One draw from the weight posterior (cf. tsu/ml.py:24-39)."""
+
+    weights: List[np.ndarray]
+    bias: List[np.ndarray]
+    energy: float
+    temperature: float
+
+
+@dataclass
+class PredictionResult:
+    """Prediction with uncertainty (cf. tsu/ml.py:42-62)."""
+
+    mean: np.ndarray
+    std: np.ndarray
+    samples: np.ndarray
+    confidence: np.ndarray = field(init=False)
+
+    def __post_init__(self):
+        conf = 1.0 / (self.std + 1e-8)
+        self.confidence = conf / (np.max(conf) + 1e-8)
+
+
+# -- functional core ---------------------------------------------------------
+
+
+def _init_layer(key, n_in, n_out, init_sigma=0.1):
+    k_w, k_b = jax.random.split(key)
+    scale = 1.0 / np.sqrt(max(n_in, 1))
+    # rho parameterizes sigma = softplus(rho); start near init_sigma.
+    rho0 = float(np.log(np.expm1(init_sigma)))
+    return {
+        "w_mu": scale * jax.random.normal(k_w, (n_in, n_out)),
+        "w_rho": jnp.full((n_in, n_out), rho0),
+        "b_mu": jnp.zeros((n_out,)),
+        "b_rho": jnp.full((n_out,), rho0),
+    }
+
+
+def _sigma(rho):
+    return jax.nn.softplus(rho)
+
+
+_ACTIVATIONS = {
+    "relu": jax.nn.relu,
+    "tanh": jnp.tanh,
+    "sigmoid": jax.nn.sigmoid,
+}
+
+
+def _sample_layer(params, key, temperature):
+    k_w, k_b = jax.random.split(key)
+    sqrt_t = jnp.sqrt(temperature)
+    w = params["w_mu"] + sqrt_t * _sigma(params["w_rho"]) * jax.random.normal(
+        k_w, params["w_mu"].shape
+    )
+    b = params["b_mu"] + sqrt_t * _sigma(params["b_rho"]) * jax.random.normal(
+        k_b, params["b_mu"].shape
+    )
+    return w, b
+
+
+def forward_sample(params, x, key, temperature, activation: str):
+    """One stochastic forward pass with freshly sampled weights.
+
+    x: (batch, d_in) -> (batch, d_out). Reparameterized sampling
+    w = mu + sqrt(T) * sigma * eps (cf. tsu/ml.py:113-131).
+    """
+    act = _ACTIVATIONS[activation]
+    h = x
+    n_layers = len(params)
+    for i, layer in enumerate(params):
+        w, b = _sample_layer(layer, jax.random.fold_in(key, i), temperature)
+        h = h @ w + b
+        if i < n_layers - 1:
+            h = act(h)
+    return h
+
+
+def kl_to_prior(params, prior_std: float):
+    """Closed-form KL(q || N(0, prior_std^2)) summed over all parameters
+    (cf. tsu/ml.py:133-158)."""
+    total = 0.0
+    p_var = prior_std**2
+    for layer in params:
+        for mu_k, rho_k in (("w_mu", "w_rho"), ("b_mu", "b_rho")):
+            mu = layer[mu_k]
+            sig2 = _sigma(layer[rho_k]) ** 2
+            total += 0.5 * jnp.sum(
+                sig2 / p_var + mu**2 / p_var - 1.0 - jnp.log(sig2 / p_var)
+            )
+    return total
+
+
+def elbo_loss(params, key, x, y, *, kl_weight, n_mc, temperature, activation, prior_std):
+    """MC estimate of MSE + kl_weight * KL / N (reference objective shape,
+    tsu/ml.py:321-356, with the KL gradient flowing into both mu and sigma)."""
+
+    def one(k):
+        pred = forward_sample(params, x, k, temperature, activation)
+        return jnp.mean((pred - y) ** 2)
+
+    mse = jnp.mean(jax.vmap(one)(jax.random.split(key, n_mc)))
+    kl = kl_to_prior(params, prior_std)
+    return mse + kl_weight * kl / x.shape[0], (mse, kl)
+
+
+@partial(jax.jit, static_argnames=("n_mc", "activation", "optimizer_update"))
+def _train_step(params, opt_state, key, x, y, kl_weight, temperature,
+                prior_std, *, n_mc, activation, optimizer_update):
+    (loss, (mse, kl)), grads = jax.value_and_grad(
+        lambda p: elbo_loss(
+            p, key, x, y,
+            kl_weight=kl_weight, n_mc=n_mc, temperature=temperature,
+            activation=activation, prior_std=prior_std,
+        ),
+        has_aux=True,
+    )(params)
+    updates, opt_state = optimizer_update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, loss, mse, kl
+
+
+@partial(jax.jit, static_argnames=("n_samples", "activation"))
+def predict_mc(params, x, key, temperature, *, n_samples, activation):
+    """MC predictive: (n_samples, batch, d_out) stacked forward passes."""
+    return jax.vmap(
+        lambda k: forward_sample(params, x, k, temperature, activation)
+    )(jax.random.split(key, n_samples))
+
+
+# -- class API (parity surface) ---------------------------------------------
+
+
+class StochasticLayer:
+    """Gaussian-posterior layer view (cf. tsu/ml.py:65-158).
+
+    Thin object wrapper over one entry of the functional params pytree, kept
+    for API familiarity; training operates on the pytree directly.
+    """
+
+    def __init__(self, input_dim: int, output_dim: int, prior_std: float = 1.0,
+                 seed: Optional[int] = None):
+        if input_dim <= 0 or output_dim <= 0:
+            raise ConfigurationError("layer dimensions must be positive")
+        self.input_dim = input_dim
+        self.output_dim = output_dim
+        self.prior_std = prior_std
+        self._key = as_key(seed)
+        self._key, k = jax.random.split(self._key)
+        self.params = _init_layer(k, input_dim, output_dim)
+
+    @property
+    def weight_mu(self):
+        return np.asarray(self.params["w_mu"])
+
+    @property
+    def weight_sigma(self):
+        return np.asarray(_sigma(self.params["w_rho"]))
+
+    def sample_weights(self, temperature: float = 1.0) -> Tuple[np.ndarray, np.ndarray]:
+        """Draw (w, b) by reparameterization (cf. tsu/ml.py:113-131)."""
+        self._key, k = jax.random.split(self._key)
+        w, b = _sample_layer(self.params, k, temperature)
+        return np.asarray(w), np.asarray(b)
+
+    def compute_kl_divergence(self) -> float:
+        """KL(q || prior) for this layer (cf. tsu/ml.py:133-158)."""
+        return float(kl_to_prior([self.params], self.prior_std))
+
+    def forward(self, x: np.ndarray, temperature: float = 1.0) -> np.ndarray:
+        w, b = self.sample_weights(temperature)
+        return np.asarray(x) @ w + b
+
+
+class BayesianLinear(StochasticLayer):
+    """Linear layer with Gaussian weight posterior (cf. tsu/ml.py:161-193)."""
+
+
+class BayesianNetwork:
+    """MLP with weight uncertainty, trained by SVI (cf. tsu/ml.py:196-456)."""
+
+    def __init__(
+        self,
+        layer_sizes: List[int],
+        activation: str = "relu",
+        prior_std: float = 1.0,
+        temperature: float = 1.0,
+        seed: Optional[int] = None,
+    ):
+        if len(layer_sizes) < 2:
+            raise ConfigurationError("need at least input and output sizes")
+        if activation not in _ACTIVATIONS:
+            raise ConfigurationError(f"unknown activation: {activation!r}")
+        self.layer_sizes = list(layer_sizes)
+        self.activation = activation
+        self.prior_std = prior_std
+        self.temperature = temperature
+        self._key = as_key(seed)
+
+        keys = jax.random.split(self._next_key(), len(layer_sizes) - 1)
+        self.params = [
+            _init_layer(k, layer_sizes[i], layer_sizes[i + 1])
+            for i, k in enumerate(keys)
+        ]
+        self.loss_history: List[float] = []
+        self.kl_history: List[float] = []
+
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    @property
+    def layers(self):
+        """Layer views over the params pytree (cf. tsu/ml.py:231-234)."""
+        views = []
+        for i, p in enumerate(self.params):
+            layer = BayesianLinear.__new__(BayesianLinear)
+            layer.input_dim = self.layer_sizes[i]
+            layer.output_dim = self.layer_sizes[i + 1]
+            layer.prior_std = self.prior_std
+            layer._key = jax.random.fold_in(self._key, i)
+            layer.params = p
+            views.append(layer)
+        return views
+
+    def forward(self, x: np.ndarray, temperature: Optional[float] = None) -> np.ndarray:
+        """One stochastic forward pass (cf. tsu/ml.py:249-287)."""
+        T = self.temperature if temperature is None else temperature
+        x = jnp.atleast_2d(jnp.asarray(x, dtype=jnp.float32))
+        return np.asarray(
+            forward_sample(self.params, x, self._next_key(), T, self.activation)
+        )
+
+    def predict(self, x: np.ndarray, n_samples: int = 100) -> PredictionResult:
+        """MC predictive mean/std over weight samples (cf. tsu/ml.py:289-319)."""
+        x = jnp.atleast_2d(jnp.asarray(x, dtype=jnp.float32))
+        samples = predict_mc(
+            self.params, x, self._next_key(), self.temperature,
+            n_samples=n_samples, activation=self.activation,
+        )
+        samples = np.asarray(samples)
+        return PredictionResult(
+            mean=samples.mean(axis=0), std=samples.std(axis=0), samples=samples
+        )
+
+    def compute_loss(
+        self, x: np.ndarray, y: np.ndarray, kl_weight: float = 0.01,
+        n_mc: int = 1,
+    ) -> Tuple[float, float, float]:
+        """(total, mse, kl) on one MC draw (cf. tsu/ml.py:321-356)."""
+        x = jnp.atleast_2d(jnp.asarray(x, dtype=jnp.float32))
+        y = jnp.asarray(y, dtype=jnp.float32).reshape(x.shape[0], -1)
+        total, (mse, kl) = elbo_loss(
+            self.params, self._next_key(), x, y,
+            kl_weight=kl_weight, n_mc=n_mc, temperature=self.temperature,
+            activation=self.activation, prior_std=self.prior_std,
+        )
+        return float(total), float(mse), float(kl)
+
+    def fit(
+        self,
+        x: np.ndarray,
+        y: np.ndarray,
+        n_epochs: int = 100,
+        batch_size: int = 32,
+        learning_rate: float = 0.01,
+        kl_weight: float = 0.01,
+        n_samples_per_batch: int = 3,
+        verbose: bool = False,
+    ) -> dict:
+        """SVI training loop (cf. tsu/ml.py:358-456).
+
+        Each optimizer step is one jitted ELBO value_and_grad with
+        ``n_samples_per_batch`` vmapped MC weight draws (the reference runs
+        them as separate Python passes with in-loop updates — quirk Q5).
+        """
+        x = np.atleast_2d(np.asarray(x, dtype=np.float32))
+        y = np.asarray(y, dtype=np.float32).reshape(x.shape[0], -1)
+        n = x.shape[0]
+        batch_size = min(batch_size, n)
+
+        optimizer = optax.adam(learning_rate)
+        opt_state = optimizer.init(self.params)
+        rng = np.random.default_rng(int(jax.random.randint(self._next_key(), (), 0, 2**31 - 1)))
+
+        for epoch in range(n_epochs):
+            perm = rng.permutation(n)
+            epoch_loss, epoch_kl, n_batches = 0.0, 0.0, 0
+            for start in range(0, n, batch_size):
+                idx = perm[start : start + batch_size]
+                self.params, opt_state, loss, mse, kl = _train_step(
+                    self.params, opt_state, self._next_key(),
+                    jnp.asarray(x[idx]), jnp.asarray(y[idx]),
+                    kl_weight, self.temperature, self.prior_std,
+                    n_mc=n_samples_per_batch,
+                    activation=self.activation,
+                    optimizer_update=optimizer.update,
+                )
+                epoch_loss += float(loss)
+                epoch_kl += float(kl)
+                n_batches += 1
+            self.loss_history.append(epoch_loss / n_batches)
+            self.kl_history.append(epoch_kl / n_batches)
+            if verbose and (epoch % max(1, n_epochs // 10) == 0):
+                print(f"epoch {epoch:4d}  loss={self.loss_history[-1]:.4f}")
+
+        return {"loss_history": self.loss_history, "kl_history": self.kl_history}
+
+    def sample_posterior(self, n_samples: int = 10) -> List[PosteriorSample]:
+        """Draw posterior weight samples (for introspection)."""
+        out = []
+        for _ in range(n_samples):
+            key = self._next_key()
+            ws, bs = [], []
+            for i, layer in enumerate(self.params):
+                w, b = _sample_layer(layer, jax.random.fold_in(key, i), self.temperature)
+                ws.append(np.asarray(w))
+                bs.append(np.asarray(b))
+            out.append(
+                PosteriorSample(
+                    weights=ws, bias=bs,
+                    energy=float(kl_to_prior(self.params, self.prior_std)),
+                    temperature=self.temperature,
+                )
+            )
+        return out
+
+
+class BayesianRegressor(BayesianNetwork):
+    """Regression head with intervals + active learning (cf. tsu/ml.py:542-628)."""
+
+    def __init__(
+        self,
+        input_dim: int,
+        hidden_dims: List[int],
+        prior_std: float = 1.0,
+        temperature: float = 1.0,
+        seed: Optional[int] = None,
+    ):
+        super().__init__(
+            [input_dim] + list(hidden_dims) + [1],
+            activation="relu", prior_std=prior_std, temperature=temperature,
+            seed=seed,
+        )
+
+    def predict_with_interval(
+        self, x: np.ndarray, n_samples: int = 100, confidence: float = 0.95
+    ):
+        """(mean, lower, upper) percentile interval (cf. tsu/ml.py:572-604)."""
+        result = self.predict(x, n_samples=n_samples)
+        alpha = (1.0 - confidence) / 2.0
+        lower = np.percentile(result.samples, 100 * alpha, axis=0)
+        upper = np.percentile(result.samples, 100 * (1 - alpha), axis=0)
+        return result.mean, lower, upper
+
+    def select_informative_samples(
+        self, x_pool: np.ndarray, n_select: int, n_samples: int = 100
+    ) -> np.ndarray:
+        """Active learning by max predictive std (cf. tsu/ml.py:606-628)."""
+        result = self.predict(x_pool, n_samples=n_samples)
+        uncertainty = np.mean(result.std, axis=-1)
+        return np.argsort(uncertainty)[-n_select:]

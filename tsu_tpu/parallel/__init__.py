@@ -1,0 +1,25 @@
+"""Device-mesh parallelism: chains, replicas, and spatial lattice sharding.
+
+The reference has no distributed backend at all (SURVEY.md §5.8 — "parallel"
+chains are sequential Python loops, tsu/gibbs.py:450-487). Here parallelism is
+first-class:
+
+* ``chains`` axis — independent chains/particles (the DP analog).
+* ``replica`` axis — parallel-tempering temperature ladder.
+* ``row`` axis — spatial decomposition of large lattices with halo exchange
+  via ``ppermute`` (the TP/SP analog; same neighbor-shift pattern as ring
+  attention).
+
+Collectives are compiled by XLA over ICI/DCN; there is no hand-written
+transport (the idiomatic TPU replacement for NCCL/MPI).
+"""
+
+from tsu_tpu.parallel.mesh import make_mesh, mesh_info
+from tsu_tpu.parallel.lattice import sharded_checkerboard_sweeps, sharded_lattice_sample
+
+__all__ = [
+    "make_mesh",
+    "mesh_info",
+    "sharded_checkerboard_sweeps",
+    "sharded_lattice_sample",
+]

@@ -1,0 +1,254 @@
+"""Spatially-sharded 2-D Ising lattice: checkerboard Gibbs with halo exchange.
+
+The structural analog of sequence parallelism for this workload (SURVEY.md
+§5.7): one big lattice state sharded over the ``row`` mesh axis, with
+1-row-wide boundary strips exchanged between neighboring shards via
+``jax.lax.ppermute`` before each half-sweep — the same neighbor-to-neighbor
+torus-shift communication pattern as ring attention, riding ICI.
+
+The whole run (burn-in, thinning, observable collection) is ONE jitted
+``shard_map``: sweeps scan on-device, observables reduce with ``psum``, and
+nothing returns to the host until the per-sample scalars.
+
+Correctness notes (SURVEY.md §8.3 item 2):
+* Each shard must hold an even number of rows so checkerboard parity is
+  identical on every shard (global row = shard_idx * R_local + r with
+  R_local even ⇒ parity(global row) == parity(local row)).
+* Periodic vertical boundaries map to the mesh-wrap permute (last shard sends
+  to shard 0); open boundaries zero the outermost halos, which contributes
+  nothing to the local field.
+* Per-shard PRNG streams are decorrelated by folding the shard index into the
+  key/seed.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
+
+from tsu_tpu.ops.checkerboard import (
+    halfstep_with_halo,
+    merge_checkerboard,
+    split_checkerboard,
+)
+
+
+def _halo_exchange(plane, axis_name: str, periodic: bool):
+    """Exchange boundary rows with the two neighbor shards along ``axis_name``.
+
+    Returns (up_row, down_row): the vertical neighbors of local rows 0 and
+    R_local-1. One ppermute per direction; zeroed at the global boundary for
+    open lattices.
+    """
+    n = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    fwd = [(i, (i + 1) % n) for i in range(n)]   # my last row -> next shard's up halo
+    bwd = [(i, (i - 1) % n) for i in range(n)]   # my first row -> prev shard's down halo
+    up_row = jax.lax.ppermute(plane[-1:, :], axis_name, fwd)
+    down_row = jax.lax.ppermute(plane[:1, :], axis_name, bwd)
+    if not periodic:
+        up_row = jnp.where(idx == 0, 0.0, up_row)
+        down_row = jnp.where(idx == n - 1, 0.0, down_row)
+    return up_row, down_row
+
+
+def _make_local_halfstep(axis_name, periodic, use_pallas, J, field, temperature):
+    """Build the per-shard half-sweep: halo exchange + color update."""
+
+    def one_halfstep(k, seed, other, update_red):
+        up, down = _halo_exchange(other, axis_name, periodic)
+        if use_pallas:
+            from tsu_tpu.ops.checkerboard_pallas import halfsweep_pallas
+
+            return halfsweep_pallas(
+                seed, temperature, other, up, down,
+                update_red=update_red, J=J, field=field, periodic=periodic,
+            )
+        return halfstep_with_halo(
+            k, other, up, down, update_red, temperature, J, field, periodic
+        )
+
+    return one_halfstep
+
+
+def _local_observables(red, black, axis_name, periodic, J, field):
+    """Per-shard (M, E) partial sums reduced with psum along the row axis.
+
+    Vertical bonds crossing the shard boundary are attributed to the shard
+    that owns the upper row (its "down" bond), delivered by halo exchange of
+    the merged local lattice's first row.
+    """
+    lat = merge_checkerboard(red, black)
+    n = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    fwd = [(i, (i - 1) % n) for i in range(n)]
+    down_halo = jax.lax.ppermute(lat[:1, :], axis_name, fwd)  # next shard's row 0
+    if not periodic:
+        down_halo = jnp.where(idx == n - 1, 0.0, down_halo)
+
+    C = lat.shape[1]
+    horiz = jnp.sum(lat[:, :-1] * lat[:, 1:])
+    if periodic:
+        horiz = horiz + jnp.sum(lat[:, -1] * lat[:, 0])
+    vert = jnp.sum(lat[:-1, :] * lat[1:, :]) + jnp.sum(lat[-1:, :] * down_halo)
+    e_local = -J * (horiz + vert) - field * jnp.sum(lat)
+    m_local = jnp.sum(lat)
+    return (
+        jax.lax.psum(m_local, axis_name),
+        jax.lax.psum(e_local, axis_name),
+    )
+
+
+def sharded_checkerboard_sweeps(
+    mesh: Mesh,
+    key: jax.Array,
+    red: jax.Array,
+    black: jax.Array,
+    temperature,
+    n_sweeps: int,
+    *,
+    J: float = 1.0,
+    field: float = 0.0,
+    periodic: bool = True,
+    use_pallas: bool = False,
+    axis_name: str = "row",
+):
+    """n_sweeps full sweeps on compact color planes sharded over ``axis_name``.
+
+    ``red``/``black`` have global shape (R, C/2), sharded (axis_name, None).
+    Returns updated (red, black) with the same sharding.
+    """
+    n_shards = mesh.shape[axis_name]
+    R = red.shape[0]
+    assert R % n_shards == 0 and (R // n_shards) % 2 == 0, (
+        f"rows per shard must be even: R={R}, shards={n_shards}"
+    )
+    spec = P(axis_name, None)
+    local_halfstep = _make_local_halfstep(
+        axis_name, periodic, use_pallas, J, field, temperature
+    )
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), spec, spec),
+        out_specs=(spec, spec),
+        check_vma=False,
+    )
+    def run(key, red_l, black_l):
+        shard = jax.lax.axis_index(axis_name)
+        key = jax.random.fold_in(key, shard)
+
+        def body(carry, inp):
+            red_l, black_l = carry
+            sweep_idx, k = inp
+            k_r, k_b = jax.random.split(k)
+            seed0 = (sweep_idx * 2 + shard * 131) * jnp.int32(65_537)
+            red_l = local_halfstep(k_r, seed0, black_l, True)
+            black_l = local_halfstep(k_b, seed0 + 65_537, red_l, False)
+            return (red_l, black_l), None
+
+        keys = jax.random.split(key, n_sweeps)
+        (red_l, black_l), _ = jax.lax.scan(
+            body, (red_l, black_l), (jnp.arange(n_sweeps), keys)
+        )
+        return red_l, black_l
+
+    return jax.jit(run)(key, red, black)
+
+
+def sharded_lattice_sample(
+    mesh: Mesh,
+    key: jax.Array,
+    lattice0: jax.Array,
+    *,
+    n_samples: int,
+    temperature,
+    J: float = 1.0,
+    field: float = 0.0,
+    n_burnin: int = 100,
+    n_sweeps: int = 1,
+    periodic: bool = True,
+    use_pallas: bool = False,
+    axis_name: str = "row",
+):
+    """Sample observables from a row-sharded lattice in ONE compiled program.
+
+    Returns dict of per-sample global magnetization (per spin) and energy plus
+    the final sharded planes. Full states stay sharded on device; only
+    (n_samples,) scalars come back.
+    """
+    n_shards = mesh.shape[axis_name]
+    R, C = lattice0.shape
+    assert R % n_shards == 0 and (R // n_shards) % 2 == 0, (
+        f"rows per shard must be even: R={R}, shards={n_shards}"
+    )
+    n_sites = R * C
+    spec = P(axis_name, None)
+    local_halfstep = _make_local_halfstep(
+        axis_name, periodic, use_pallas, J, field, temperature
+    )
+
+    red, black = split_checkerboard(jnp.asarray(lattice0, dtype=jnp.float32))
+    sharding = NamedSharding(mesh, spec)
+    red = jax.device_put(red, sharding)
+    black = jax.device_put(black, sharding)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), spec, spec),
+        out_specs=(P(), P(), spec, spec),
+        check_vma=False,
+    )
+    def run(key, red_l, black_l):
+        shard = jax.lax.axis_index(axis_name)
+        key = jax.random.fold_in(key, shard)
+
+        def sweeps(carry, step_base, k, n):
+            def body(c, inp):
+                red_l, black_l = c
+                i, kk = inp
+                k_r, k_b = jax.random.split(kk)
+                seed0 = (i * 2 + shard * 131) * jnp.int32(65_537)
+                red_l = local_halfstep(k_r, seed0, black_l, True)
+                black_l = local_halfstep(k_b, seed0 + 65_537, red_l, False)
+                return (red_l, black_l), None
+
+            idxs = step_base + jnp.arange(n)
+            (red_l, black_l), _ = jax.lax.scan(
+                body, carry, (idxs, jax.random.split(k, n))
+            )
+            return red_l, black_l
+
+        red_l, black_l = sweeps(
+            (red_l, black_l), jnp.int32(0), jax.random.fold_in(key, 0), n_burnin
+        )
+
+        def collect(carry, i):
+            red_l, black_l = carry
+            red_l, black_l = sweeps(
+                (red_l, black_l),
+                n_burnin + i * n_sweeps,
+                jax.random.fold_in(key, 1 + i),
+                n_sweeps,
+            )
+            m, e = _local_observables(red_l, black_l, axis_name, periodic, J, field)
+            return (red_l, black_l), (m / n_sites, e)
+
+        (red_l, black_l), (ms, es) = jax.lax.scan(
+            collect, (red_l, black_l), jnp.arange(n_samples)
+        )
+        return ms, es, red_l, black_l
+
+    ms, es, red, black = jax.jit(run)(key, red, black)
+    return {
+        "magnetization": ms,
+        "energy": es,
+        "final_planes": (red, black),
+    }

@@ -1,0 +1,117 @@
+"""Simulated annealing as a compiled temperature-schedule scan.
+
+The reference anneals by mutating its config each step and re-entering the
+Python sweep loop (tsu/gibbs.py:340-393, quirk Q8). Here the schedule is a
+traced array consumed by one ``lax.scan``; multiple chains anneal in parallel
+(vmapped / shardable on the ``chains`` mesh axis) and the best state is a
+running on-device reduction.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from tsu_tpu.samplers.gibbs import boltzmann_energy_batch, gibbs_sweeps
+
+
+def make_schedule(T_initial: float, T_final: float, n_steps: int, kind: str = "exponential"):
+    """Temperature schedule array (n_steps,) (cf. tsu/gibbs.py:370-379)."""
+    t = jnp.arange(n_steps) / max(n_steps - 1, 1)
+    if kind == "exponential":
+        return T_initial * (T_final / T_initial) ** t
+    if kind == "linear":
+        return T_initial + (T_final - T_initial) * t
+    raise ValueError(f"unknown cooling schedule {kind!r}")
+
+
+@partial(jax.jit, static_argnames=("n_steps", "n_chains", "cooling_schedule"))
+def simulated_annealing_dense(
+    key,
+    J,
+    h,
+    *,
+    T_initial: float = 10.0,
+    T_final: float = 0.1,
+    n_steps: int = 1000,
+    cooling_schedule: str = "exponential",
+    n_chains: int = 1,
+):
+    """Anneal bit states on dense J; returns (best_state, best_energy) over
+    all chains and steps (cf. tsu/gibbs.py:340-393)."""
+    n = J.shape[0]
+    schedule = make_schedule(T_initial, T_final, n_steps, cooling_schedule)
+    k_init, k_run = jax.random.split(key)
+    states = jax.random.bernoulli(k_init, 0.5, (n_chains, n)).astype(jnp.float32)
+
+    def chain(key, state):
+        def body(carry, inp):
+            state, best_state, best_e = carry
+            T, k = inp
+            state = gibbs_sweeps(k, state, J, h, T, 1)
+            e = boltzmann_energy_batch(state, J, h)
+            better = e < best_e
+            best_state = jnp.where(better, state, best_state)
+            best_e = jnp.minimum(e, best_e)
+            return (state, best_state, best_e), None
+
+        e0 = boltzmann_energy_batch(state, J, h)
+        (state, best_state, best_e), _ = jax.lax.scan(
+            body, (state, state, e0), (schedule, jax.random.split(key, n_steps))
+        )
+        return best_state, best_e
+
+    best_states, best_es = jax.vmap(chain)(jax.random.split(k_run, n_chains), states)
+    i = jnp.argmin(best_es)
+    return best_states[i], best_es[i]
+
+
+def anneal_lattice(
+    key,
+    shape,
+    *,
+    J: float = 1.0,
+    field: float = 0.0,
+    T_initial: float = 5.0,
+    T_final: float = 0.05,
+    n_steps: int = 1000,
+    cooling_schedule: str = "exponential",
+    n_chains: int = 1,
+    periodic: bool = True,
+):
+    """Anneal 2-D lattices with checkerboard sweeps; returns
+    (best_state (R, C), best_energy)."""
+    from tsu_tpu.ops.checkerboard import checkerboard_sweeps, lattice_energy_batch
+
+    schedule = make_schedule(T_initial, T_final, n_steps, cooling_schedule)
+    k_init, k_run = jax.random.split(key)
+    states = jnp.where(
+        jax.random.bernoulli(k_init, 0.5, (n_chains,) + tuple(shape)), 1.0, -1.0
+    ).astype(jnp.float32)
+
+    @jax.jit
+    def run(states, keys):
+        def chain(key, state):
+            def body(carry, inp):
+                state, best_state, best_e = carry
+                T, k = inp
+                state = checkerboard_sweeps(k, state, T, 1, J=J, field=field, periodic=periodic)
+                e = lattice_energy_batch(state, J=J, field=field, periodic=periodic)
+                better = e < best_e
+                best_state = jnp.where(better, state, best_state)
+                best_e = jnp.minimum(e, best_e)
+                return (state, best_state, best_e), None
+
+            e0 = lattice_energy_batch(state, J=J, field=field, periodic=periodic)
+            (_, best_state, best_e), _ = jax.lax.scan(
+                body, (state, state, e0), (schedule, jax.random.split(key, n_steps))
+            )
+            return best_state, best_e
+
+        return jax.vmap(chain)(keys, states)
+
+    best_states, best_es = run(states, jax.random.split(k_run, n_chains))
+    i = int(jnp.argmin(best_es))
+    return best_states[i], float(best_es[i])

@@ -1,0 +1,272 @@
+"""Dense-coupling Gibbs sampler for binary Boltzmann machines.
+
+API parity with the reference ``GibbsSampler`` (tsu/gibbs.py:39-393), rebuilt
+as jitted ``lax.scan`` sweeps vmapped over chains. The scalar inner loop
+(tsu/gibbs.py:128-162 — Python per-bit updates) becomes an on-device scan over
+sites whose local field is one gathered row-dot; chains are a vmapped batch
+axis. Dense J is the small-system path (Boltzmann machines, random-J
+instances, BNN posteriors); large lattices use the checkerboard kernel
+(tsu_tpu/ops/checkerboard.py) via IsingGrid.
+
+Conventions (matching tsu/gibbs.py:79-126):
+    E(b) = -1/2 b^T J b - h^T b over bits b in {0,1}^n
+    P(b_i = 1 | rest) = sigmoid(((J b)_i - J_ii b_i + h_i) / T)
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tsu_tpu.config import GibbsConfig, SamplingError
+from tsu_tpu.rng import as_key
+
+
+def _site_update(i, state, J, h, temperature, u):
+    """Heat-bath update of one site given a uniform draw u."""
+    field = J[i] @ state + h[i] - J[i, i] * state[i]
+    p = jax.nn.sigmoid(field / temperature)
+    return state.at[i].set(jnp.where(u < p, 1.0, 0.0))
+
+
+def _sweep_ordered(key, state, J, h, temperature, order):
+    """One Gibbs sweep visiting sites in the given order (shape (n,))."""
+    n = state.shape[0]
+    us = jax.random.uniform(key, (n,))
+
+    def body(state, iu):
+        i, u = iu
+        return _site_update(i, state, J, h, temperature, u), None
+
+    state, _ = jax.lax.scan(body, state, (order, us))
+    return state
+
+
+@partial(jax.jit, static_argnames=("n_sweeps", "random_order"))
+def gibbs_sweeps(key, state, J, h, temperature, n_sweeps: int, random_order: bool = False):
+    """Run ``n_sweeps`` sequential-scan sweeps on one chain state (n,)."""
+    n = state.shape[0]
+
+    def body(carry, k):
+        state = carry
+        if random_order:
+            k_perm, k_sweep = jax.random.split(k)
+            order = jax.random.permutation(k_perm, n)
+        else:
+            k_sweep = k
+            order = jnp.arange(n)
+        return _sweep_ordered(k_sweep, state, J, h, temperature, order), None
+
+    keys = jax.random.split(key, n_sweeps)
+    state, _ = jax.lax.scan(body, state, keys)
+    return state
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_samples", "n_burnin", "n_sweeps", "random_order"),
+)
+def dense_gibbs_sample(
+    key,
+    J,
+    h,
+    x0,
+    *,
+    n_samples: int,
+    temperature: float = 1.0,
+    n_burnin: int = 100,
+    n_sweeps: int = 10,
+    random_order: bool = False,
+):
+    """Boltzmann sampling on dense J: (n_chains, n_samples, n) bit samples.
+
+    The whole run — burn-in, thinning, collection, all chains — is a single
+    XLA computation (cf. tsu/gibbs.py:164-213's Python loops).
+    """
+    x0 = jnp.atleast_2d(jnp.asarray(x0, dtype=jnp.float32))
+    n_chains = x0.shape[0]
+
+    def chain(key, state):
+        k_burn, k_main = jax.random.split(key)
+        state = gibbs_sweeps(k_burn, state, J, h, temperature, n_burnin, random_order)
+
+        def collect(carry, k):
+            state = gibbs_sweeps(k, carry, J, h, temperature, n_sweeps, random_order)
+            return state, state
+
+        _, samples = jax.lax.scan(collect, state, jax.random.split(k_main, n_samples))
+        return samples
+
+    return jax.vmap(chain)(jax.random.split(key, n_chains), x0)
+
+
+@jax.jit
+def boltzmann_energy_batch(states, J, h):
+    """E(b) = -1/2 b^T J b - h^T b over a batch (..., n) (cf. tsu/gibbs.py:215-236)."""
+    Js = jnp.einsum("...i,ij->...j", states, J)
+    return -0.5 * jnp.einsum("...j,...j->...", Js, states) - states @ h
+
+
+class GibbsSampler:
+    """Gibbs sampler for binary/probabilistic bits (cf. tsu/gibbs.py:39-59)."""
+
+    def __init__(self, config: Optional[GibbsConfig] = None, seed: Optional[int] = None):
+        self.config = config or GibbsConfig()
+        self._key = as_key(seed)
+        self.sample_count = 0
+
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    # -- low-level parity methods (tsu/gibbs.py:61-126) ---------------------
+
+    def _sigmoid(self, x):
+        return float(jax.nn.sigmoid(jnp.float32(x)))
+
+    def _compute_local_field(self, i: int, state, coupling, bias=None):
+        """Local field h_i = (J state)_i - J_ii state_i + bias_i."""
+        state = np.asarray(state, dtype=np.float64)
+        J = np.asarray(coupling, dtype=np.float64)
+        b = 0.0 if bias is None else np.asarray(bias, dtype=np.float64)[i]
+        return float(J[i] @ state - J[i, i] * state[i] + b)
+
+    def sample_conditional(self, i: int, state, coupling, bias=None) -> int:
+        """Sample bit i from its conditional (cf. tsu/gibbs.py:102-126)."""
+        field = self._compute_local_field(i, state, coupling, bias)
+        p = self._sigmoid(field / self.config.temperature)
+        u = float(jax.random.uniform(self._next_key()))
+        return int(u < p)
+
+    def gibbs_sweep(self, state, coupling, bias=None, n_sweeps: int = 1):
+        """Run full sweeps over a single state vector (cf. tsu/gibbs.py:128-162)."""
+        state = jnp.asarray(state, dtype=jnp.float32)
+        n = state.shape[0]
+        J = jnp.asarray(coupling, dtype=jnp.float32)
+        h = jnp.zeros(n) if bias is None else jnp.asarray(bias, dtype=jnp.float32)
+        out = gibbs_sweeps(
+            self._next_key(), state, J, h, self.config.temperature,
+            n_sweeps, self.config.update_order == "random",
+        )
+        return np.asarray(out)
+
+    # -- main sampling entry (tsu/gibbs.py:164-213) -------------------------
+
+    def sample_boltzmann(
+        self,
+        coupling: np.ndarray,
+        bias: Optional[np.ndarray] = None,
+        n_samples: int = 1000,
+        initial_state: Optional[np.ndarray] = None,
+    ) -> np.ndarray:
+        """Sample the Boltzmann distribution over bits; returns (n_samples, n)."""
+        J = np.asarray(coupling, dtype=np.float32)
+        if J.ndim != 2 or J.shape[0] != J.shape[1]:
+            raise SamplingError(f"coupling must be square, got shape {J.shape}")
+        n = J.shape[0]
+        h = np.zeros(n, np.float32) if bias is None else np.asarray(bias, dtype=np.float32)
+        if h.shape != (n,):
+            raise SamplingError(f"bias shape {h.shape} does not match n={n}")
+        if n_samples <= 0:
+            raise SamplingError(f"n_samples must be positive, got {n_samples}")
+
+        cfg = self.config
+        n_chains = cfg.n_chains
+        per_chain = -(-n_samples // n_chains)
+        key = self._next_key()
+        if initial_state is not None:
+            x0 = jnp.tile(jnp.asarray(initial_state, dtype=jnp.float32), (n_chains, 1))
+        else:
+            x0 = jax.random.bernoulli(
+                jax.random.fold_in(key, 0), 0.5, (n_chains, n)
+            ).astype(jnp.float32)
+        samples = dense_gibbs_sample(
+            jax.random.fold_in(key, 1),
+            jnp.asarray(J), jnp.asarray(h), x0,
+            n_samples=per_chain,
+            temperature=cfg.temperature,
+            n_burnin=cfg.n_burnin,
+            n_sweeps=cfg.n_sweeps,
+            random_order=cfg.update_order == "random",
+        )
+        out = np.asarray(samples).transpose(1, 0, 2).reshape(-1, n)[:n_samples]
+        self.sample_count += n_samples
+        return out
+
+    def compute_energy(self, state, coupling, bias=None) -> float:
+        """E(b) = -1/2 b^T J b - h^T b (cf. tsu/gibbs.py:215-236)."""
+        state = jnp.asarray(state, dtype=jnp.float32)
+        J = jnp.asarray(coupling, dtype=jnp.float32)
+        h = (
+            jnp.zeros(state.shape[-1])
+            if bias is None
+            else jnp.asarray(bias, dtype=jnp.float32)
+        )
+        return float(boltzmann_energy_batch(state, J, h))
+
+    # -- advanced samplers (delegate to dedicated modules) ------------------
+
+    def parallel_tempering(
+        self,
+        coupling: np.ndarray,
+        temperatures: List[float],
+        bias: Optional[np.ndarray] = None,
+        n_samples: int = 1000,
+        swap_interval: int = 10,
+    ) -> Tuple[np.ndarray, dict]:
+        """Replica-exchange sampling (cf. tsu/gibbs.py:238-338).
+
+        All replicas advance simultaneously (vmapped / shardable over a
+        ``replica`` mesh axis); even/odd adjacent pairs attempt Metropolis
+        swaps every ``swap_interval`` sweeps. Returns samples from the coldest
+        temperature plus swap statistics, matching the reference info dict
+        (tsu/gibbs.py:330-336).
+        """
+        from tsu_tpu.samplers.tempering import parallel_tempering_dense
+
+        J = jnp.asarray(coupling, dtype=jnp.float32)
+        n = J.shape[0]
+        h = jnp.zeros(n) if bias is None else jnp.asarray(bias, dtype=jnp.float32)
+        samples, info = parallel_tempering_dense(
+            self._next_key(), J, h,
+            temperatures=jnp.asarray(temperatures, dtype=jnp.float32),
+            n_samples=n_samples,
+            swap_interval=swap_interval,
+            n_sweeps=self.config.n_sweeps,
+            n_burnin=self.config.n_burnin,
+        )
+        self.sample_count += n_samples
+        return np.asarray(samples), info
+
+    def simulated_annealing(
+        self,
+        coupling: np.ndarray,
+        bias: Optional[np.ndarray] = None,
+        T_initial: float = 10.0,
+        T_final: float = 0.1,
+        n_steps: int = 1000,
+        cooling_schedule: str = "exponential",
+    ) -> Tuple[np.ndarray, float]:
+        """Annealed optimization to low-energy states (cf. tsu/gibbs.py:340-393).
+
+        The temperature schedule is a traced array consumed by one compiled
+        scan — the config is never mutated (reference quirk Q8).
+        Returns (best_state, best_energy).
+        """
+        from tsu_tpu.samplers.annealing import simulated_annealing_dense
+
+        J = jnp.asarray(coupling, dtype=jnp.float32)
+        n = J.shape[0]
+        h = jnp.zeros(n) if bias is None else jnp.asarray(bias, dtype=jnp.float32)
+        best_state, best_energy = simulated_annealing_dense(
+            self._next_key(), J, h,
+            T_initial=T_initial, T_final=T_final,
+            n_steps=n_steps, cooling_schedule=cooling_schedule,
+            n_chains=self.config.n_chains,
+        )
+        return np.asarray(best_state), float(best_energy)

@@ -1,0 +1,195 @@
+"""Parallel tempering (replica exchange), fully on-device.
+
+The reference updates replicas one-by-one in Python and swaps with host-side
+Metropolis tests (tsu/gibbs.py:270-323). Here all replicas advance
+simultaneously (vmapped; shardable over a ``replica`` mesh axis —
+tsu_tpu/parallel/), and swap decisions run inside the compiled scan using
+deterministic even/odd adjacent pairing, so the chain never leaves the device.
+
+Swap rule: replicas i (colder) and j=i+1 exchange states with probability
+min(1, exp((beta_i - beta_j)(E_i - E_j))).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tsu_tpu.samplers.gibbs import boltzmann_energy_batch, gibbs_sweeps
+
+
+def _swap_permutation(key, energies, betas, offset):
+    """Even/odd adjacent-pair Metropolis swap as a permutation of replica slots.
+
+    Returns (perm, n_accepts, n_attempts). Vectorized: every pair decides with
+    one shared uniform; unpaired slots map to themselves.
+    """
+    R = energies.shape[0]
+    idx = jnp.arange(R)
+    is_left = ((idx - offset) % 2 == 0) & (idx >= offset) & (idx + 1 < R)
+    partner = jnp.where(
+        is_left,
+        idx + 1,
+        jnp.where(((idx - offset) % 2 == 1) & (idx >= 1), idx - 1, idx),
+    )
+    has_partner = partner != idx
+    delta = (betas - betas[partner]) * (energies - energies[partner])
+    u = jax.random.uniform(key, (R,))
+    u_shared = jnp.where(is_left, u, u[partner])  # one draw per pair
+    accept = has_partner & (u_shared < jnp.exp(jnp.minimum(delta, 0.0)))
+    perm = jnp.where(accept, partner, idx)
+    n_att = jnp.sum(is_left)
+    n_acc = jnp.sum(accept & is_left)
+    return perm, n_acc, n_att
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_samples", "swap_interval", "n_sweeps", "n_burnin"),
+)
+def _pt_dense_scan(key, J, h, temperatures, n_samples, swap_interval, n_sweeps, n_burnin):
+    R = temperatures.shape[0]
+    n = J.shape[0]
+    betas = 1.0 / temperatures
+
+    k_init, k_run = jax.random.split(key)
+    states = jax.random.bernoulli(k_init, 0.5, (R, n)).astype(jnp.float32)
+    total = n_burnin + n_samples
+
+    def body(carry, inp):
+        states, n_acc, n_att = carry
+        t, k = inp
+        k_sweep, k_swap = jax.random.split(k)
+        states = jax.vmap(
+            lambda kk, s, T: gibbs_sweeps(kk, s, J, h, T, n_sweeps)
+        )(jax.random.split(k_sweep, R), states, temperatures)
+        energies = boltzmann_energy_batch(states, J, h)
+
+        def do_swap(args):
+            states, n_acc, n_att = args
+            offset = (t // swap_interval) % 2
+            perm, acc, att = _swap_permutation(k_swap, energies, betas, offset)
+            return states[perm], n_acc + acc, n_att + att
+
+        states, n_acc, n_att = jax.lax.cond(
+            (t + 1) % swap_interval == 0,
+            do_swap,
+            lambda args: args,
+            (states, n_acc, n_att),
+        )
+        return (states, n_acc, n_att), (states[0], energies)
+
+    ts = jnp.arange(total)
+    keys = jax.random.split(k_run, total)
+    (states, n_acc, n_att), (cold_states, energy_hist) = jax.lax.scan(
+        body, (states, jnp.int32(0), jnp.int32(0)), (ts, keys)
+    )
+    return cold_states[n_burnin:], energy_hist, states, n_acc, n_att
+
+
+def parallel_tempering_dense(
+    key,
+    J,
+    h,
+    *,
+    temperatures,
+    n_samples: int = 1000,
+    swap_interval: int = 10,
+    n_sweeps: int = 1,
+    n_burnin: int = 100,
+) -> Tuple[jax.Array, dict]:
+    """Replica-exchange Gibbs on dense J. Returns (cold samples, info).
+
+    info mirrors the reference dict (tsu/gibbs.py:330-336): swap acceptance
+    statistics, per-sweep replica energies, final replica states.
+    """
+    cold, energy_hist, finals, n_acc, n_att = _pt_dense_scan(
+        key, J, h, temperatures, n_samples, swap_interval, n_sweeps, n_burnin
+    )
+    n_acc = int(n_acc)
+    n_att = int(n_att)
+    info = {
+        "swap_acceptance_rate": n_acc / n_att if n_att > 0 else 0.0,
+        "swap_attempts": n_att,
+        "swap_accepts": n_acc,
+        "energies": jax.device_get(energy_hist),
+        "final_states": jax.device_get(finals),
+    }
+    return cold, info
+
+
+def parallel_tempering_lattice(
+    key,
+    shape,
+    *,
+    temperatures,
+    J: float = 1.0,
+    field: float = 0.0,
+    n_samples: int = 100,
+    swap_interval: int = 10,
+    n_sweeps: int = 1,
+    n_burnin: int = 100,
+    periodic: bool = True,
+):
+    """Replica-exchange over checkerboard lattice sweeps.
+
+    Replicas carry whole 2-D lattices; swaps exchange lattices between
+    adjacent temperature slots (equivalently, temperatures between replicas —
+    the data stays put under jit since XLA fuses the gather). Returns
+    (cold_samples (n_samples, R, C), info).
+    """
+    from tsu_tpu.ops.checkerboard import checkerboard_sweeps, lattice_energy_batch
+
+    temperatures = jnp.asarray(temperatures, dtype=jnp.float32)
+    R = temperatures.shape[0]
+    betas = 1.0 / temperatures
+
+    k_init, k_run = jax.random.split(key)
+    states = jnp.where(
+        jax.random.bernoulli(k_init, 0.5, (R,) + tuple(shape)), 1.0, -1.0
+    ).astype(jnp.float32)
+    total = n_burnin + n_samples
+
+    @partial(jax.jit, static_argnames=())
+    def run(states, keys, ts):
+        def body(carry, inp):
+            states, n_acc, n_att = carry
+            t, k = inp
+            k_sweep, k_swap = jax.random.split(k)
+            states = jax.vmap(
+                lambda kk, s, T: checkerboard_sweeps(
+                    kk, s, T, n_sweeps, J=J, field=field, periodic=periodic
+                )
+            )(jax.random.split(k_sweep, R), states, temperatures)
+            energies = lattice_energy_batch(states, J=J, field=field, periodic=periodic)
+
+            def do_swap(args):
+                states, n_acc, n_att = args
+                offset = (t // swap_interval) % 2
+                perm, acc, att = _swap_permutation(k_swap, energies, betas, offset)
+                return states[perm], n_acc + acc, n_att + att
+
+            states, n_acc, n_att = jax.lax.cond(
+                (t + 1) % swap_interval == 0, do_swap, lambda a: a,
+                (states, n_acc, n_att),
+            )
+            return (states, n_acc, n_att), (states[0], energies)
+
+        return jax.lax.scan(body, (states, jnp.int32(0), jnp.int32(0)), (ts, keys))
+
+    ts = jnp.arange(total)
+    keys = jax.random.split(k_run, total)
+    (states, n_acc, n_att), (cold, energy_hist) = run(states, keys, ts)
+    n_acc = int(n_acc)
+    n_att = int(n_att)
+    info = {
+        "swap_acceptance_rate": n_acc / n_att if n_att > 0 else 0.0,
+        "swap_attempts": n_att,
+        "swap_accepts": n_acc,
+        "energies": jax.device_get(energy_hist),
+        "final_states": jax.device_get(states),
+    }
+    return cold[n_burnin:], info
