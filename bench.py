@@ -67,21 +67,23 @@ def main():
     results["xla"], _ = _throughput(xla_step, planes, n_iters=5,
                                     n_sweeps_per_iter=n_sweeps)
 
-    # Pallas path (TPU).
+    # Pallas fused kernel (TPU): both colors per pass, bf16 storage, many
+    # sweeps per launch to amortize dispatch.
     if backend == "tpu":
         try:
-            from tsu_tpu.ops.checkerboard_pallas import (
-                checkerboard_sweeps_planes_pallas,
-            )
+            from tsu_tpu.ops.checkerboard_fused import fused_sweeps
+
+            planes16 = split_checkerboard(jnp.ones((R, C), dtype=jnp.bfloat16))
 
             def pallas_step(red, black, i):
-                return checkerboard_sweeps_planes_pallas(
-                    jnp.int32(1 + i * 1_000_033), red, black, T, n_sweeps,
+                return fused_sweeps(
+                    jnp.int32(1 + i * 1_000_033), red, black, T, 50,
                     J=1.0, field=0.0, periodic=True,
                 )
 
-            results["pallas"], _ = _throughput(pallas_step, planes, n_iters=10,
-                                               n_sweeps_per_iter=n_sweeps)
+            results["pallas_fused"], _ = _throughput(
+                pallas_step, planes16, n_iters=4, n_sweeps_per_iter=50
+            )
         except Exception as e:  # noqa: BLE001 — fall back, report XLA number
             results["pallas_error"] = str(e)[:200]
 

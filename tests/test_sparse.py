@@ -1,0 +1,127 @@
+"""Sparse-Ising (ELL) and native graph-tool tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tsu_tpu.ops.sparse_ising import (
+    ell_energy,
+    ell_from_edges,
+    ell_local_fields,
+    maxcut_sparse,
+)
+
+
+def ring_graph(n):
+    edges = np.array([(i, (i + 1) % n) for i in range(n)])
+    return edges, np.ones(n)
+
+
+class TestELL:
+    def test_local_fields_match_dense(self, rng):
+        n = 12
+        edges = np.array([(i, j) for i in range(n) for j in range(i + 1, n)
+                          if rng.random() < 0.4])
+        w = rng.normal(0, 1, len(edges))
+        idx, ew = ell_from_edges(n, edges, w)
+        J = np.zeros((n, n))
+        for (u, v), wij in zip(edges, w):
+            J[u, v] = J[v, u] = wij
+        s = np.where(rng.random(n) < 0.5, 1.0, -1.0)
+        h = rng.normal(0, 1, n)
+        fields = np.asarray(ell_local_fields(jnp.asarray(s, dtype=jnp.float32),
+                                             jnp.asarray(idx), jnp.asarray(ew),
+                                             jnp.asarray(h, dtype=jnp.float32)))
+        np.testing.assert_allclose(fields, J @ s + h, rtol=1e-5, atol=1e-5)
+
+    def test_energy_matches_dense(self, rng):
+        n = 10
+        edges = np.array([(i, (i + 1) % n) for i in range(n)])
+        w = rng.normal(0, 1, n)
+        idx, ew = ell_from_edges(n, edges, w)
+        J = np.zeros((n, n))
+        for (u, v), wij in zip(edges, w):
+            J[u, v] = J[v, u] = wij
+        s = np.where(rng.random(n) < 0.5, 1.0, -1.0)
+        e = float(ell_energy(jnp.asarray(s, dtype=jnp.float32),
+                             jnp.asarray(idx), jnp.asarray(ew),
+                             jnp.zeros(n)))
+        assert e == pytest.approx(-0.5 * s @ J @ s, rel=1e-5)
+
+    def test_padding_is_inert(self):
+        # Node 0 has degree 1, node 1 degree 2 -> padding must not leak.
+        edges = np.array([(0, 1), (1, 2)])
+        idx, ew = ell_from_edges(3, edges, np.array([1.0, 1.0]))
+        s = jnp.asarray([1.0, 1.0, -1.0])
+        f = np.asarray(ell_local_fields(s, jnp.asarray(idx), jnp.asarray(ew),
+                                        jnp.zeros(3)))
+        np.testing.assert_allclose(f, [1.0, 0.0, 1.0])
+
+
+class TestSparseMaxCut:
+    def test_bipartite_exact(self):
+        # Even ring: perfect cut = n (alternating spins).
+        n = 16
+        edges, w = ring_graph(n)
+        out = maxcut_sparse(jax.random.key(0), n, edges, w,
+                            n_steps=400, n_chains=4)
+        assert out["cut_value"] == pytest.approx(n)
+
+    def test_k33(self):
+        edges = np.array([(i, j) for i in range(3) for j in range(3, 6)])
+        out = maxcut_sparse(jax.random.key(1), 6, edges, np.ones(9),
+                            n_steps=300, n_chains=4)
+        assert out["cut_value"] == pytest.approx(9.0)
+
+    @pytest.mark.slow
+    def test_large_graph_beats_random(self, rng):
+        n = 5000
+        m = 20000
+        e = rng.integers(0, n, (m, 2))
+        e = e[e[:, 0] != e[:, 1]]
+        w = np.ones(len(e))
+        out = maxcut_sparse(jax.random.key(2), n, e, w, n_steps=500,
+                            n_chains=4)
+        # Random assignment cuts ~50%; annealing must do clearly better.
+        assert out["cut_value"] > 0.6 * len(e)
+
+
+class TestNative:
+    def test_greedy_k33(self):
+        from tsu_tpu.native import csr_from_dense, cut_value_csr, greedy_maxcut_csr
+
+        W = np.zeros((6, 6))
+        for i in range(3):
+            for j in range(3, 6):
+                W[i, j] = W[j, i] = 1.0
+        indptr, idx, w = csr_from_dense(W)
+        cut, spins = greedy_maxcut_csr(indptr, idx, w, n_restarts=4, seed=0)
+        assert cut == pytest.approx(9.0)
+        assert cut_value_csr(indptr, idx, w, spins) == pytest.approx(9.0)
+
+    def test_conflicts(self):
+        from tsu_tpu.native import coloring_conflicts_csr, csr_from_edges
+
+        edges = np.array([(0, 1), (1, 2), (2, 0)])  # triangle
+        indptr, idx, _ = csr_from_edges(3, edges, np.ones(3))
+        assert coloring_conflicts_csr(indptr, idx,
+                                      np.array([0, 0, 0], np.int32)) == 3
+        assert coloring_conflicts_csr(indptr, idx,
+                                      np.array([0, 1, 2], np.int32)) == 0
+
+    def test_matches_python_fallback(self, rng):
+        from tsu_tpu import native
+
+        n = 50
+        e = np.array([(i, j) for i in range(n) for j in range(i + 1, n)
+                      if rng.random() < 0.2])
+        indptr, idx, w = native.csr_from_edges(n, e, np.ones(len(e)))
+        spins = np.where(rng.random(n) < 0.5, 1.0, -1.0)
+        got = native.cut_value_csr(indptr, idx, w, spins)
+        # Independent dense computation.
+        W = np.zeros((n, n))
+        for (u, v) in e:
+            W[u, v] = W[v, u] = 1.0
+        exp = 0.25 * float(np.sum(W * (1 - np.outer(spins, spins))))
+        assert got == pytest.approx(exp)

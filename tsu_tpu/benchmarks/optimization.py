@@ -223,9 +223,52 @@ class OptimizationBenchmark:
         self.results.append(result)
         return result
 
+    def benchmark_maxcut_sparse(self, n_nodes: int = 100_000,
+                                n_edges: int = 500_000,
+                                n_steps: int = 2000) -> OptimizationResult:
+        """Large sparse MAX-CUT (BASELINE config 5 scale): ELL annealing on
+        device vs the native greedy local-search bound."""
+        import jax
+
+        from tsu_tpu.native import csr_from_edges, greedy_maxcut_csr
+        from tsu_tpu.ops.sparse_ising import maxcut_sparse
+
+        rng = np.random.default_rng(self.seed + 3)
+        edges = rng.integers(0, n_nodes, (n_edges, 2))
+        edges = edges[edges[:, 0] != edges[:, 1]]
+        weights = np.ones(len(edges))
+
+        indptr, idx, w = csr_from_edges(n_nodes, edges, weights)
+        greedy_cut, _ = greedy_maxcut_csr(indptr, idx, w, n_restarts=3,
+                                          seed=self.seed)
+
+        t0 = time.perf_counter()
+        out = maxcut_sparse(
+            jax.random.key(self.seed), n_nodes, edges, weights,
+            n_steps=n_steps, n_chains=min(self.n_chains, 8),
+        )
+        elapsed = time.perf_counter() - t0
+        result = OptimizationResult(
+            name="maxcut_sparse",
+            n_variables=n_nodes,
+            objective=out["cut_value"],
+            reference_bound=greedy_cut,
+            gap_vs_bound=(greedy_cut - out["cut_value"]) / max(greedy_cut, 1e-9),
+            time_elapsed=elapsed,
+            extra={"n_edges": int(len(edges)),
+                   "bound_type": "greedy_lower_bound",
+                   "cut_fraction": round(out["cut_value"] / len(edges), 4)},
+        )
+        self.results.append(result)
+        return result
+
     def run_all_benchmarks(self, quick: bool = False) -> List[OptimizationResult]:
         steps = 200 if quick else 800
         self.benchmark_maxcut(15, n_steps=steps)
         self.benchmark_graph_coloring(10, 3, n_steps=steps)
         self.benchmark_number_partitioning(15, n_steps=steps)
+        if quick:
+            self.benchmark_maxcut_sparse(5_000, 25_000, n_steps=300)
+        else:
+            self.benchmark_maxcut_sparse(100_000, 500_000, n_steps=2000)
         return self.results

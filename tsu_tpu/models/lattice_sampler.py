@@ -41,17 +41,28 @@ def sample_grid(
     red, black = split_checkerboard(lattice0)
 
     if use_pallas:
-        from tsu_tpu.ops.checkerboard_pallas import checkerboard_sweeps_planes_pallas
-
         # Derive disjoint int32 seed ranges from the key: each sweeps-call
-        # consumes 2 * nblocks seeds per sweep; stride generously.
+        # consumes O(nblocks) seeds per sweep; stride generously.
         base = jax.random.randint(key, (), 0, 2**30, dtype=jnp.int32)
 
-        def sweeps(i, red, black, n):
-            return checkerboard_sweeps_planes_pallas(
-                base + i * jnp.int32(1_000_033), red, black, temperature, n,
-                J=J, field=field, periodic=periodic,
+        if lattice0.shape[0] % 8 == 0:
+            from tsu_tpu.ops.checkerboard_fused import fused_sweeps
+
+            def sweeps(i, red, black, n):
+                return fused_sweeps(
+                    base + i * jnp.int32(1_000_033), red, black, temperature, n,
+                    J=J, field=field, periodic=periodic,
+                )
+        else:
+            from tsu_tpu.ops.checkerboard_pallas import (
+                checkerboard_sweeps_planes_pallas,
             )
+
+            def sweeps(i, red, black, n):
+                return checkerboard_sweeps_planes_pallas(
+                    base + i * jnp.int32(1_000_033), red, black, temperature, n,
+                    J=J, field=field, periodic=periodic,
+                )
     else:
 
         def sweeps(i, red, black, n):

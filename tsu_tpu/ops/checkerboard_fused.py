@@ -1,0 +1,275 @@
+"""Fused full-sweep Pallas kernel: both checkerboard colors in ONE pass.
+
+The two-call kernel (tsu_tpu/ops/checkerboard_pallas.py) moves
+4 * N * itemsize bytes per sweep (read opposite plane + write plane, twice).
+This kernel updates red AND black in a single grid pass over row bands:
+
+    per band: read black (+4 halo rows) -> compute new red extended by one
+    row each side (stays in VMEM) -> compute new black from the new red ->
+    write new red band + new black band.
+
+Traffic per sweep: read black + write red + write black = 3 * N/2 * itemsize
+bytes x 2 planes-worth = 25% less than the two-call kernel, with half the
+kernel dispatches. With bf16 spin storage traffic halves again (all compute
+stays f32; spins and +-1 sums are exact in bf16).
+
+Correctness notes:
+* The extended red band starts at global row i*BR - 1, so its row-parity mask
+  is the complement of the band's (BR even).
+* Open vertical boundaries: the caller zeroes the black halo tiles AND the
+  kernel zeroes the out-of-lattice rows of the new-red extension (a sampled
+  spin is +-1, never 0, so it must be masked explicitly).
+Validated against the XLA path statistically on TPU (tests/test_tpu_kernels.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_U24_SCALE = 1.0 / 16777216.0
+
+
+def _u24(shape):
+    """int32 uniforms in [0, 2^24) from the hardware PRNG (sign-safe)."""
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    return pltpu.bitcast(bits >> 8, jnp.int32)
+
+
+def _heatbath_table(nbr, u24, table_ref, dtype):
+    """Heat-bath draw via integer threshold table — no transcendentals.
+
+    For a uniform stencil the local field takes only the 9 values
+    J*k + field, k = nbr in {-4..4}; the caller precomputes int24 thresholds
+    t[k+4] = round(sigmoid(2(Jk+field)/T) * 2^24) so the update is a pure
+    integer compare against raw PRNG bits. Exact to ~6e-8 in probability.
+    """
+    nbr_i = nbr.astype(jnp.int32) + 4  # 0..8
+    thresh = jnp.full(nbr.shape, table_ref[0], dtype=jnp.int32)
+    for k in range(1, 9):
+        thresh = jnp.where(nbr_i == k, table_ref[k], thresh)
+    return jnp.where(u24 < thresh, 1.0, -1.0).astype(dtype)
+
+
+def sigmoid_table(J: float, field: float, temperature) -> jax.Array:
+    """(9,) int32 thresholds for nbr sums -4..4 (computed outside the kernel,
+    so temperature stays a traced argument)."""
+    k = jnp.arange(-4, 5, dtype=jnp.float32)
+    p = jax.nn.sigmoid(2.0 * (J * k + field) / temperature)
+    return jnp.clip((p * 16777216.0), 0, 16777215).astype(jnp.int32)
+
+
+def _horiz(other_f32, row_parity_offset, update_red, periodic):
+    """Horizontal neighbor sums in the compact layout.
+
+    row_parity_offset: 0 if row 0 of the array has even global parity,
+    1 otherwise (the extended red band starts one row early).
+    """
+    R, C2 = other_f32.shape
+    left_shift = pltpu.roll(other_f32, 1, 1)
+    right_shift = pltpu.roll(other_f32, C2 - 1, 1)
+    row_par = (jax.lax.broadcasted_iota(jnp.int32, (R, C2), 0)
+               + row_parity_offset) % 2
+    row_is_even = row_par == 0
+    if update_red:
+        horiz = jnp.where(row_is_even, left_shift + other_f32,
+                          other_f32 + right_shift)
+    else:
+        horiz = jnp.where(row_is_even, other_f32 + right_shift,
+                          left_shift + other_f32)
+    if not periodic:
+        col = jax.lax.broadcasted_iota(jnp.int32, (R, C2), 1)
+        if update_red:
+            wrap_left = row_is_even & (col == 0)
+            wrap_right = jnp.logical_not(row_is_even) & (col == C2 - 1)
+        else:
+            wrap_left = jnp.logical_not(row_is_even) & (col == 0)
+            wrap_right = row_is_even & (col == C2 - 1)
+        horiz = jnp.where(wrap_left | wrap_right, other_f32, horiz)
+    return horiz
+
+
+def _fused_sweep_kernel(
+    seed_ref,        # SMEM (1,) int32
+    table_ref,       # SMEM (9,) int32 heat-bath thresholds (see sigmoid_table)
+    black_ref,       # VMEM (BR, C2) black center band
+    up_ref,          # VMEM (8, C2): rows 0,1 = black rows i*BR-2, i*BR-1
+    down_ref,        # VMEM (8, C2): rows 0,1 = black rows (i+1)*BR, +1
+    red_out_ref,     # VMEM (BR, C2)
+    black_out_ref,   # VMEM (BR, C2)
+    *,
+    periodic: bool,
+):
+    i = pl.program_id(0)
+    nb = pl.num_programs(0)
+    pltpu.prng_seed(seed_ref[0] + i)
+
+    black = black_ref[:].astype(jnp.float32)
+    BR, C2 = black.shape
+    up2 = up_ref[0:2, :].astype(jnp.float32)
+    down2 = down_ref[0:2, :].astype(jnp.float32)
+
+    # black extended: rows = global [i*BR-2, (i+1)*BR+1], shape (BR+4, C2).
+    black_ext = jnp.concatenate([up2, black, down2], axis=0)
+
+    # ---- red update on the extended band: global rows i*BR-1..(i+1)*BR ----
+    # target rows j (0..BR+1) map to black_ext rows j+1; vertical neighbors
+    # are black_ext rows j and j+2.
+    up_nbr_r = black_ext[:-2, :]
+    down_nbr_r = black_ext[2:, :]
+    center_r = black_ext[1:-1, :]
+    # Row 0 of the target has global row i*BR-1: parity offset 1 (BR even).
+    horiz_r = _horiz(center_r, 1, True, periodic)
+    nbr_r = up_nbr_r + down_nbr_r + horiz_r
+    red_ext = _heatbath_table(nbr_r, _u24((BR + 2, C2)), table_ref, jnp.float32)
+
+    if not periodic:
+        # Out-of-lattice extension rows must read as 0 for the black update.
+        grow = jax.lax.broadcasted_iota(jnp.int32, (BR + 2, C2), 0)
+        red_ext = jnp.where((i == 0) & (grow == 0), 0.0, red_ext)
+        red_ext = jnp.where((i == nb - 1) & (grow == BR + 1), 0.0, red_ext)
+
+    red_out_ref[:] = red_ext[1:-1, :].astype(red_out_ref.dtype)
+
+    # ---- black update from the NEW red: global rows i*BR..(i+1)*BR-1 ------
+    up_nbr_b = red_ext[:-2, :]
+    down_nbr_b = red_ext[2:, :]
+    center_b = red_ext[1:-1, :]
+    horiz_b = _horiz(center_b, 0, False, periodic)
+    nbr_b = up_nbr_b + down_nbr_b + horiz_b
+    black_out_ref[:] = _heatbath_table(nbr_b, _u24((BR, C2)), table_ref,
+                                       black_out_ref.dtype)
+
+
+def _pick_band(R: int, C2: int, itemsize: int) -> int:
+    """Row band height: keep in+2x out+ext buffers within ~12MB scoped vmem."""
+    # Rough peak: (5 bands + 2 uniform f32 planes) per band-size.
+    budget = 12 * 2**20
+    per_row = C2 * (3 * itemsize + 2 * 4 + 2 * 4)  # spins + f32 temps/uniforms
+    limit = max(budget // (2 * per_row), 8)  # /2 for double buffering
+    for br in (512, 256, 128, 64, 32, 16, 8):
+        if br <= limit and R % br == 0:
+            return br
+    raise ValueError(f"R={R} must be divisible by 8 for the fused kernel")
+
+
+@partial(jax.jit, static_argnames=("J", "field", "periodic"))
+def fused_sweep_pallas(
+    seed: jax.Array,
+    red: jax.Array,
+    black: jax.Array,
+    temperature,
+    *,
+    J: float = 1.0,
+    field: float = 0.0,
+    periodic: bool = True,
+):
+    """One full checkerboard sweep (red then black) in a single pallas_call.
+
+    ``red`` is accepted for API symmetry but not read (heat-bath red update
+    depends only on black). Returns (new_red, new_black) in the input dtype
+    (float32 or bfloat16).
+    """
+    R, C2 = black.shape
+    BR = _pick_band(R, C2, black.dtype.itemsize)
+    nblocks = R // BR
+
+    # Black halo tiles per band: rows (i*BR-2, i*BR-1) and ((i+1)*BR, +1),
+    # wrapped for periodic lattices, zeroed at open boundaries. Built as
+    # (nblocks*8, C2) so each (8, C2) block satisfies sublane tiling.
+    top2 = jnp.roll(black, 2, axis=0)[0:2]          # rows -2, -1 (wrapped)
+    if nblocks > 1:
+        ups = jnp.concatenate(
+            [top2[None], jnp.stack([black[i * BR - 2 : i * BR]
+                                    for i in range(1, nblocks)])], axis=0
+        )  # (nblocks, 2, C2)
+        downs = jnp.concatenate(
+            [jnp.stack([black[(i + 1) * BR : (i + 1) * BR + 2]
+                        for i in range(nblocks - 1)]),
+             black[None, 0:2]], axis=0  # last block wraps to rows 0,1
+        )
+    else:
+        ups = top2[None]
+        downs = black[None, 0:2]
+
+    if not periodic:
+        # Zero the halo rows that would wrap around the lattice.
+        ups = ups.at[0].set(0.0)
+        downs = downs.at[-1].set(0.0)
+
+    pad = jnp.zeros((nblocks, 6, C2), dtype=black.dtype)
+    ups = jnp.concatenate([ups.astype(black.dtype), pad], axis=1).reshape(
+        nblocks * 8, C2
+    )
+    downs = jnp.concatenate([downs.astype(black.dtype), pad], axis=1).reshape(
+        nblocks * 8, C2
+    )
+
+    grid_spec = pl.GridSpec(
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((BR, C2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, C2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, C2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((BR, C2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BR, C2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+    )
+    kernel = partial(_fused_sweep_kernel, periodic=periodic)
+    new_red, new_black = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((R, C2), black.dtype),
+            jax.ShapeDtypeStruct((R, C2), black.dtype),
+        ),
+        grid_spec=grid_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=30 * R * C2,
+            bytes_accessed=3 * R * C2 * black.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(
+        jnp.asarray(seed, dtype=jnp.int32).reshape(1),
+        sigmoid_table(J, field, temperature),
+        black,
+        ups,
+        downs,
+    )
+    return new_red, new_black
+
+
+@partial(jax.jit, static_argnames=("n_sweeps", "J", "field", "periodic"))
+def fused_sweeps(
+    seed: jax.Array,
+    red: jax.Array,
+    black: jax.Array,
+    temperature,
+    n_sweeps: int,
+    *,
+    J: float = 1.0,
+    field: float = 0.0,
+    periodic: bool = True,
+):
+    """n_sweeps full sweeps with the fused kernel."""
+    seed = jnp.asarray(seed, dtype=jnp.int32)
+    R, C2 = black.shape
+    nblocks = R // _pick_band(R, C2, black.dtype.itemsize)
+
+    def body(carry, k):
+        red, black = carry
+        red, black = fused_sweep_pallas(
+            seed + k * nblocks, red, black, temperature,
+            J=J, field=field, periodic=periodic,
+        )
+        return (red, black), None
+
+    (red, black), _ = jax.lax.scan(body, (red, black), jnp.arange(n_sweeps))
+    return red, black
