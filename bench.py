@@ -67,22 +67,41 @@ def main():
     results["xla"], _ = _throughput(xla_step, planes, n_iters=5,
                                     n_sweeps_per_iter=n_sweeps)
 
-    # Pallas fused kernel (TPU): both colors per pass, bf16 storage, many
-    # sweeps per launch to amortize dispatch.
+    # Pallas deep-sweep kernels (TPU), bf16 storage, hundreds of sweeps per
+    # launch to amortize dispatch. VMEM-resident where the shape is validated
+    # safe (see resident_fits), streaming fused kernel otherwise.
     if backend == "tpu":
         try:
             from tsu_tpu.ops.checkerboard_fused import fused_sweeps
+            from tsu_tpu.ops.checkerboard_resident import (
+                resident_fits,
+                resident_sweeps,
+            )
 
             planes16 = split_checkerboard(jnp.ones((R, C), dtype=jnp.bfloat16))
+            S = 500
 
-            def pallas_step(red, black, i):
-                return fused_sweeps(
-                    jnp.int32(1 + i * 1_000_033), red, black, T, 50,
-                    J=1.0, field=0.0, periodic=True,
-                )
+            if resident_fits(R, C // 2, 2):
 
-            results["pallas_fused"], _ = _throughput(
-                pallas_step, planes16, n_iters=4, n_sweeps_per_iter=50
+                def pallas_step(red, black, i):
+                    return resident_sweeps(
+                        jnp.int32(1 + i * 7919), red, black, T, jnp.int32(S),
+                        J=1.0, field=0.0, periodic=True,
+                    )
+
+                label = "pallas_resident"
+            else:
+
+                def pallas_step(red, black, i):
+                    return fused_sweeps(
+                        jnp.int32(1 + i * 7919), red, black, T, S,
+                        J=1.0, field=0.0, periodic=True,
+                    )
+
+                label = "pallas_fused"
+
+            results[label], _ = _throughput(
+                pallas_step, planes16, n_iters=3, n_sweeps_per_iter=S
             )
         except Exception as e:  # noqa: BLE001 — fall back, report XLA number
             results["pallas_error"] = str(e)[:200]
