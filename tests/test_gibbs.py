@@ -94,6 +94,28 @@ class TestSampleBoltzmann:
         # Marginal means: MC std err <= 0.5/sqrt(4000/tau); allow 4 sigma-ish.
         assert np.all(np.abs(s.mean(axis=0) - exact["mean"]) < 0.06)
 
+    @pytest.mark.slow
+    def test_20_spin_moments_vs_numpy_oracle(self):
+        """BASELINE config 2: 20-spin dense random-J, moments vs the NumPy
+        sequential-Gibbs oracle within combined MC error."""
+        from tsu_tpu.oracle import sequential_gibbs_bits
+
+        rng = np.random.default_rng(20)
+        n = 20
+        J = rng.normal(0, 0.3, (n, n))
+        J = ((J + J.T) / 2).astype(np.float64)
+        np.fill_diagonal(J, 0.0)
+        h = rng.normal(0, 0.3, n)
+
+        sampler = GibbsSampler(GibbsConfig(n_burnin=200, n_sweeps=3,
+                                           n_chains=16), seed=4)
+        ours = sampler.sample_boltzmann(J, bias=h, n_samples=6000)
+        oracle = sequential_gibbs_bits(rng, J, h, n_samples=4000,
+                                       n_burnin=200, n_sweeps=3)
+        diff = np.abs(ours.mean(axis=0) - oracle.mean(axis=0))
+        # Each marginal has SE <~ 0.5/sqrt(N_eff); allow generous 5-sigma.
+        assert np.all(diff < 0.08), diff
+
     def test_ferromagnet_orders_at_low_temperature(self):
         # Strong ferro couplings at low T -> aligned bits (all 0 or all 1).
         sampler = GibbsSampler(GibbsConfig(temperature=0.2, n_burnin=100,

@@ -100,6 +100,26 @@ class TestShardedSweeps:
         assert np.abs(np.asarray(out["magnetization"])).mean() > 0.9
 
 
+class TestGridShardedAPI:
+    def test_sample_observables_with_mesh(self):
+        from tsu_tpu import IsingConfig, IsingGrid
+
+        mesh = make_mesh(rows=4)
+        grid = IsingGrid((16, 16), periodic=True, seed=0, use_pallas=False,
+                         config=IsingConfig(n_burnin=100, n_sweeps=1))
+        out = grid.sample_observables(50, temperature=1.2, mesh=mesh)
+        assert out["magnetization"].shape == (50,)
+        assert np.abs(out["magnetization"]).mean() > 0.9
+
+    def test_sample_observables_single_device(self):
+        from tsu_tpu import IsingConfig, IsingGrid
+
+        grid = IsingGrid((16, 16), periodic=True, seed=0, use_pallas=False,
+                         config=IsingConfig(n_burnin=50, n_sweeps=1))
+        out = grid.sample_observables(20, temperature=5.0)
+        assert out["energy"].shape == (20,)
+
+
 class TestChainsAxis:
     def test_sharded_chains_langevin(self):
         """Chains sharded over all 8 devices via jit auto-partitioning."""

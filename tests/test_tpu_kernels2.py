@@ -1,0 +1,124 @@
+"""Real-TPU tests for the fused and resident kernels (TSU_TEST_TPU=1)."""
+
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("TSU_TEST_TPU") or jax.default_backend() != "tpu",
+    reason="requires TSU_TEST_TPU=1 and a TPU backend",
+)
+
+
+def _collect(step, R, C, T, n_samp, thin, periodic):
+    from tsu_tpu.ops.checkerboard import (
+        lattice_energy_batch,
+        merge_checkerboard,
+        split_checkerboard,
+    )
+
+    @jax.jit
+    def run(red, black):
+        def body(carry, i):
+            red, black = carry
+            red, black = step(1 + i, red, black, thin)
+            lat = merge_checkerboard(red.astype(jnp.float32),
+                                     black.astype(jnp.float32))
+            return (red, black), (
+                jnp.mean(lat),
+                lattice_energy_batch(lat, J=1.0, field=0.0,
+                                     periodic=periodic) / (R * C),
+            )
+
+        red, black = step(0, red, black, 50)
+        (_, _), (ms, es) = jax.lax.scan(body, (red, black), jnp.arange(n_samp))
+        return ms, es
+
+    red, black = split_checkerboard(jnp.ones((R, C), jnp.float32))
+    ms, es = run(red, black)
+    return np.abs(np.asarray(ms)).mean(), np.asarray(es).mean()
+
+
+@pytest.mark.tpu
+@pytest.mark.parametrize("periodic", [True, False])
+def test_fused_matches_xla(periodic):
+    from tsu_tpu.ops.checkerboard import checkerboard_sweeps_planes
+    from tsu_tpu.ops.checkerboard_fused import fused_sweeps
+
+    R = C = 16
+    T = 3.0
+
+    def xla_step(i, r, b, n):
+        return checkerboard_sweeps_planes(
+            jax.random.fold_in(jax.random.key(5), i), r, b, T, n,
+            J=1.0, field=0.0, periodic=periodic,
+        )
+
+    def fus_step(i, r, b, n):
+        return fused_sweeps(jnp.int32(77 + i * 100003), r, b, T, n,
+                            J=1.0, field=0.0, periodic=periodic)
+
+    m_x, e_x = _collect(xla_step, R, C, T, 3000, 2, periodic)
+    m_f, e_f = _collect(fus_step, R, C, T, 3000, 2, periodic)
+    assert m_f == pytest.approx(m_x, abs=0.02)
+    assert e_f == pytest.approx(e_x, abs=0.03)
+
+
+@pytest.mark.tpu
+@pytest.mark.parametrize("periodic", [True, False])
+def test_resident_matches_xla(periodic):
+    from tsu_tpu.ops.checkerboard import checkerboard_sweeps_planes
+    from tsu_tpu.ops.checkerboard_resident import resident_sweeps
+
+    R = C = 16
+    T = 3.0
+
+    def xla_step(i, r, b, n):
+        return checkerboard_sweeps_planes(
+            jax.random.fold_in(jax.random.key(5), i), r, b, T, n,
+            J=1.0, field=0.0, periodic=periodic,
+        )
+
+    def res_step(i, r, b, n):
+        return resident_sweeps(jnp.int32(91 + i * 100003), r, b, T,
+                               jnp.int32(n), J=1.0, field=0.0,
+                               periodic=periodic)
+
+    m_x, e_x = _collect(xla_step, R, C, T, 3000, 2, periodic)
+    m_r, e_r = _collect(res_step, R, C, T, 3000, 2, periodic)
+    assert m_r == pytest.approx(m_x, abs=0.02)
+    assert e_r == pytest.approx(e_x, abs=0.03)
+
+
+@pytest.mark.tpu
+def test_fused_large_lattice_low_t_orders():
+    """4096^2 bf16 from an ordered start at T=1.8 must stay ordered — the
+    shape class where the resident kernel miscompiles must be clean here."""
+    from tsu_tpu.ops.checkerboard import merge_checkerboard, split_checkerboard
+    from tsu_tpu.ops.checkerboard_fused import fused_sweeps
+
+    red, black = split_checkerboard(jnp.ones((4096, 4096), jnp.bfloat16))
+    red, black = fused_sweeps(jnp.int32(3), red, black, 1.8, 100,
+                              J=1.0, field=0.0, periodic=True)
+    m = float(jnp.mean(merge_checkerboard(red.astype(jnp.float32),
+                                          black.astype(jnp.float32))))
+    assert m > 0.9
+
+
+@pytest.mark.tpu
+def test_resident_anneal_reaches_ground_state():
+    from tsu_tpu.ops.checkerboard import merge_checkerboard, split_checkerboard
+    from tsu_tpu.ops.checkerboard_resident import resident_anneal
+
+    red, black = split_checkerboard(
+        jnp.where(jax.random.bernoulli(jax.random.key(0), 0.5, (64, 64)),
+                  1.0, -1.0).astype(jnp.float32)
+    )
+    schedule = jnp.asarray(np.geomspace(5.0, 0.05, 2000), dtype=jnp.float32)
+    red, black = resident_anneal(jnp.int32(5), red, black, schedule,
+                                 J=1.0, field=0.0, periodic=True)
+    m = float(jnp.mean(merge_checkerboard(red, black)))
+    assert abs(m) > 0.98  # fully ordered ferromagnetic ground state

@@ -1,0 +1,149 @@
+"""Scaling-efficiency measurements across device topologies.
+
+BASELINE.json demands samples/s measured at 1 chip / 1 host / N hosts with
+>= 80% scaling efficiency. This harness measures two workloads on (a) a
+single device and (b) the full visible mesh, and reports efficiency
+= throughput_full / (throughput_single * n_devices):
+
+  * chains workload — independent Langevin chains sharded over the mesh
+    (embarrassingly parallel; the efficiency ceiling is dominated by
+    dispatch and partitioning overhead);
+  * lattice workload — one big lattice row-sharded with halo exchange
+    (communication-bound limit).
+
+On a multi-host pod, run under `jax.distributed.initialize()`; topology is
+recorded in the output. On a single chip this degenerates to the 1-device
+row (still useful as the denominator recorded for later rounds).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from tsu_tpu.energy import Quadratic
+from tsu_tpu.parallel.mesh import make_mesh
+from tsu_tpu.samplers.langevin import sample_langevin
+
+
+def _sync(x):
+    np.asarray(jax.tree.leaves(x)[0])[:1]
+
+
+def measure_chains_scaling(
+    dim: int = 10,
+    chains_per_device: int = 1024,
+    n_samples: int = 50,
+    n_steps: int = 10,
+    seed: int = 0,
+) -> dict:
+    """Langevin samples/s: 1 device vs all devices (chains axis)."""
+    devices = jax.devices()
+    results = {}
+    for label, devs in (("1_device", devices[:1]), ("all_devices", devices)):
+        n_dev = len(devs)
+        mesh = make_mesh(chains=n_dev, devices=devs)
+        n_chains = chains_per_device * n_dev
+        x0 = jax.device_put(
+            jnp.zeros((n_chains, dim)),
+            NamedSharding(mesh, P("chains", None)),
+        )
+
+        def run(i):
+            return sample_langevin(
+                jax.random.key(seed + i), x0,
+                energy_fn=Quadratic(0.0, 1.0), n_samples=n_samples,
+                dt=0.05, n_burnin=50, n_steps=n_steps,
+            )
+
+        s = run(0)
+        _sync(s)
+        t0 = time.perf_counter()
+        s = run(1)
+        _sync(s)
+        dt = time.perf_counter() - t0
+        results[label] = {
+            "n_devices": n_dev,
+            "samples_per_s": n_chains * n_samples / dt,
+            "time_s": dt,
+        }
+    n_dev = results["all_devices"]["n_devices"]
+    ideal = results["1_device"]["samples_per_s"] * n_dev
+    results["efficiency"] = (
+        results["all_devices"]["samples_per_s"] / ideal if n_dev > 1 else 1.0
+    )
+    return results
+
+
+def measure_lattice_scaling(
+    rows_per_device: int = 1024,
+    cols: int = 4096,
+    n_sweeps: int = 50,
+    seed: int = 0,
+) -> dict:
+    """Row-sharded lattice sweeps/s: 1 device vs all (halo-exchange bound)."""
+    from tsu_tpu.ops.checkerboard import split_checkerboard
+    from tsu_tpu.parallel.lattice import sharded_checkerboard_sweeps
+
+    devices = jax.devices()
+    results = {}
+    for label, devs in (("1_device", devices[:1]), ("all_devices", devices)):
+        n_dev = len(devs)
+        mesh = make_mesh(rows=n_dev, devices=devs)
+        R = rows_per_device * n_dev
+        red, black = split_checkerboard(jnp.ones((R, cols), jnp.float32))
+        sharding = NamedSharding(mesh, P("row", None))
+        red = jax.device_put(red, sharding)
+        black = jax.device_put(black, sharding)
+
+        def run(i, red, black):
+            return sharded_checkerboard_sweeps(
+                mesh, jax.random.key(seed + i), red, black, 2.269, n_sweeps,
+                periodic=True,
+            )
+
+        red, black = run(0, red, black)
+        _sync(red)
+        t0 = time.perf_counter()
+        red, black = run(1, red, black)
+        _sync(red)
+        dt = time.perf_counter() - t0
+        results[label] = {
+            "n_devices": n_dev,
+            "flips_per_s": R * cols * n_sweeps / dt,
+            "time_s": dt,
+        }
+    n_dev = results["all_devices"]["n_devices"]
+    # Weak scaling: per-device problem size constant, ideal = n_dev * single.
+    ideal = results["1_device"]["flips_per_s"] * n_dev
+    results["efficiency"] = (
+        results["all_devices"]["flips_per_s"] / ideal if n_dev > 1 else 1.0
+    )
+    return results
+
+
+def main():
+    import json
+
+    print(json.dumps({
+        "topology": {
+            "backend": jax.default_backend(),
+            "n_devices": len(jax.devices()),
+            "n_hosts": jax.process_count(),
+        },
+        "chains": measure_chains_scaling(),
+        "lattice": measure_lattice_scaling(
+            rows_per_device=256 if jax.default_backend() != "tpu" else 1024,
+            cols=1024 if jax.default_backend() != "tpu" else 4096,
+        ),
+    }, indent=2, default=float))
+
+
+if __name__ == "__main__":
+    main()

@@ -336,6 +336,57 @@ class IsingGrid(IsingModel):
         )
         return np.asarray(states).reshape(n_samples, -1)
 
+    def sample_observables(
+        self,
+        n_samples: int = 100,
+        temperature: Optional[float] = None,
+        mesh=None,
+    ) -> dict:
+        """Sample (magnetization, energy) traces without materializing states.
+
+        For large lattices this is the production entry: states stay on
+        device (sharded over ``mesh``'s ``row`` axis when a mesh is given —
+        see tsu_tpu/parallel/lattice.py) and only per-sample scalars return.
+        """
+        if not self._fast:
+            samples = self.sample(n_samples, temperature=temperature)
+            m = samples.mean(axis=1)
+            return {"magnetization": m, "energy": self.energies(samples)}
+
+        T = self.config.temperature if temperature is None else temperature
+        key = self._next_key()
+        lat0 = jnp.where(
+            jax.random.bernoulli(jax.random.fold_in(key, 0), 0.5, self.shape),
+            1.0, -1.0,
+        ).astype(jnp.float32)
+
+        if mesh is not None:
+            from tsu_tpu.parallel.lattice import sharded_lattice_sample
+
+            out = sharded_lattice_sample(
+                mesh, jax.random.fold_in(key, 1), lat0,
+                n_samples=n_samples, temperature=T, J=self.coupling_strength,
+                n_burnin=self.config.n_burnin, n_sweeps=self.config.n_sweeps,
+                periodic=self.periodic, use_pallas=self._use_pallas,
+            )
+            return {
+                "magnetization": np.asarray(out["magnetization"]),
+                "energy": np.asarray(out["energy"]),
+            }
+
+        from tsu_tpu.ops.checkerboard import sample_lattice
+
+        out = sample_lattice(
+            jax.random.fold_in(key, 1), lat0, n_samples=n_samples,
+            temperature=T, J=self.coupling_strength,
+            n_burnin=self.config.n_burnin, n_sweeps=self.config.n_sweeps,
+            periodic=self.periodic, collect="observables",
+        )
+        return {
+            "magnetization": np.asarray(out["magnetization"]),
+            "energy": np.asarray(out["energy"]),
+        }
+
     def find_ground_state(self, n_steps: int = 1000) -> Tuple[np.ndarray, float]:
         if not self._fast:
             return super().find_ground_state(n_steps)
