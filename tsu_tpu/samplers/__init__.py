@@ -8,10 +8,13 @@ and shardable over device meshes (tsu_tpu/parallel/).
 
 from tsu_tpu.samplers.langevin import sample_langevin, make_langevin_step
 from tsu_tpu.samplers.gibbs import GibbsSampler, dense_gibbs_sample
-from tsu_tpu.samplers.hmc import sample_hmc
+from tsu_tpu.samplers.hmc import sample_hmc, sample_hmc_adaptive
+from tsu_tpu.samplers.mala import sample_mala
 from tsu_tpu.samplers.tempering import parallel_tempering_dense, parallel_tempering_lattice
 from tsu_tpu.samplers.annealing import simulated_annealing_dense, anneal_lattice
+from tsu_tpu.samplers.nuts import sample_nuts
 from tsu_tpu.samplers.smc import annealed_smc
+from tsu_tpu.samplers.vi import fit_meanfield_vi
 
 __all__ = [
     "sample_langevin",
@@ -19,9 +22,13 @@ __all__ = [
     "GibbsSampler",
     "dense_gibbs_sample",
     "sample_hmc",
+    "sample_hmc_adaptive",
+    "sample_mala",
+    "sample_nuts",
     "parallel_tempering_dense",
     "parallel_tempering_lattice",
     "simulated_annealing_dense",
     "anneal_lattice",
     "annealed_smc",
+    "fit_meanfield_vi",
 ]
