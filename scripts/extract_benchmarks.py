@@ -57,7 +57,7 @@ def render(results, headlines) -> str:
         for suite, rows in results.get("suites", {}).items():
             lines.append(f"### {suite}")
             if rows:
-                keys = list(rows[0].keys())
+                keys = list(dict.fromkeys(k for row in rows for k in row))
                 lines.append("| " + " | ".join(keys) + " |")
                 lines.append("|" + "---|" * len(keys))
                 for row in rows:

@@ -34,6 +34,15 @@ from tsu_tpu.core import (
     validate_distribution,
 )
 from tsu_tpu.samplers.gibbs import GibbsSampler
+from tsu_tpu.samplers import (
+    sample_langevin,
+    sample_hmc,
+    sample_hmc_adaptive,
+    sample_mala,
+    sample_nuts,
+    annealed_smc,
+    fit_meanfield_vi,
+)
 from tsu_tpu.hardware import (
     HardwareEmulator,
     TPUHardwareSpec,
@@ -148,6 +157,14 @@ __all__ = [
     "compare_samplers",
     "optimize",
     "quick_demo",
+    # Sampler engines (beyond the reference surface)
+    "sample_langevin",
+    "sample_hmc",
+    "sample_hmc_adaptive",
+    "sample_mala",
+    "sample_nuts",
+    "annealed_smc",
+    "fit_meanfield_vi",
 ]
 
 
