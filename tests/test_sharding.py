@@ -100,6 +100,70 @@ class TestShardedSweeps:
         assert np.abs(np.asarray(out["magnetization"])).mean() > 0.9
 
 
+class TestSharded2D:
+    """Row x column sharding: four-sided halo exchange (col_axis path)."""
+
+    def test_moments_vs_exact_enumeration_4x4_2d_mesh(self):
+        """2x2 spatial mesh on a 4x4 torus: each shard holds 2 rows x 1
+        compact column — every site update needs at least one halo."""
+        R = C = 4
+        T = 3.0
+        n = R * C
+        J = np.zeros((n, n))
+        for r in range(R):
+            for c in range(C):
+                i = r * C + c
+                for rr, cc in ((r, (c + 1) % C), ((r + 1) % R, c)):
+                    j = rr * C + cc
+                    J[i, j] += 1.0
+                    J[j, i] += 1.0
+        exact = exact_ising_moments(J, np.zeros(n), temperature=T)
+
+        mesh = make_mesh(rows=2, cols=2)
+        out = sharded_lattice_sample(
+            mesh, jax.random.key(7), jnp.ones((R, C)),
+            n_samples=4000, temperature=T, n_burnin=200, n_sweeps=2,
+            periodic=True, col_axis="col",
+        )
+        m_abs = np.abs(np.asarray(out["magnetization"]))
+        e = np.asarray(out["energy"])
+        assert m_abs.mean() == pytest.approx(exact["abs_magnetization"], abs=0.04)
+        assert e.mean() == pytest.approx(exact["energy"], abs=0.6)
+
+    @pytest.mark.parametrize("periodic", [True, False])
+    def test_2d_sharded_matches_single_device_statistics(self, periodic):
+        from tsu_tpu.ops.checkerboard import sample_lattice
+
+        T = 2.5
+        shape = (16, 16)
+        mesh = make_mesh(rows=2, cols=4)
+        out_sh = sharded_lattice_sample(
+            mesh, jax.random.key(11), jnp.ones(shape), n_samples=600,
+            temperature=T, n_burnin=150, n_sweeps=2, periodic=periodic,
+            col_axis="col",
+        )
+        out_1d = sample_lattice(
+            jax.random.key(2), jnp.ones(shape), n_samples=600, temperature=T,
+            n_burnin=150, n_sweeps=2, periodic=periodic, collect="observables",
+        )
+        m_sh = np.abs(np.asarray(out_sh["magnetization"])).mean()
+        m_1d = np.abs(np.asarray(out_1d["magnetization"])).mean()
+        e_sh = np.asarray(out_sh["energy"]).mean()
+        e_1d = np.asarray(out_1d["energy"]).mean()
+        assert m_sh == pytest.approx(m_1d, abs=0.08)
+        assert e_sh == pytest.approx(e_1d, rel=0.1, abs=8.0)
+
+    def test_2d_sweeps_spins_stay_binary(self):
+        mesh = make_mesh(rows=2, cols=2)
+        red, black = split_checkerboard(jnp.ones((8, 8)))
+        red2, black2 = sharded_checkerboard_sweeps(
+            mesh, jax.random.key(0), red, black, 2.0, 3, periodic=True,
+            col_axis="col",
+        )
+        out = np.asarray(merge_checkerboard(red2, black2))
+        assert set(np.unique(out)) <= {-1.0, 1.0}
+
+
 class TestGridShardedAPI:
     def test_sample_observables_with_mesh(self):
         from tsu_tpu import IsingConfig, IsingGrid

@@ -164,7 +164,60 @@ class ComparisonBenchmark:
         self.results.extend(rows)
         return rows
 
+    def run_trials(self, n_trials: int = 5, n_bits: int = 8,
+                   n_samples: int = 1_000) -> dict:
+        """Multi-trial statistical comparison (SURVEY.md §2 #24: the
+        reference's trial/t-test methodology, tsu/benchmarks.py:173-191,
+        folded into the main suite).
+
+        Repeats the Gibbs-vs-MH KL comparison over ``n_trials`` independent
+        instances and reports mean±std, win rate, and a paired t-test.
+        """
+        from scipy import stats
+
+        rng = np.random.default_rng(self.seed + 7)
+        kl_gibbs, kl_mh = [], []
+        for trial in range(n_trials):
+            J = rng.normal(0, 0.4, (n_bits, n_bits))
+            J = ((J + J.T) / 2).astype(np.float32)
+            np.fill_diagonal(J, 0)
+            h = rng.normal(0, 0.3, n_bits).astype(np.float32)
+            exact = _exact_distribution(J, h, 1.0)
+
+            sampler = GibbsSampler(
+                GibbsConfig(n_burnin=100, n_sweeps=2, n_chains=16),
+                seed=self.seed + trial,
+            )
+            s = sampler.sample_boltzmann(J, bias=h, n_samples=n_samples)
+            kl_gibbs.append(kl_divergence_discrete(_state_histogram(s), exact))
+
+            mh = _metropolis_bits(rng, J.astype(np.float64),
+                                  h.astype(np.float64), n_samples)
+            kl_mh.append(kl_divergence_discrete(_state_histogram(mh), exact))
+
+        kl_gibbs = np.asarray(kl_gibbs)
+        kl_mh = np.asarray(kl_mh)
+        t_stat, p_value = stats.ttest_rel(kl_gibbs, kl_mh)
+        return {
+            "n_trials": n_trials,
+            "kl_gibbs_mean": float(kl_gibbs.mean()),
+            "kl_gibbs_std": float(kl_gibbs.std()),
+            "kl_mh_mean": float(kl_mh.mean()),
+            "kl_mh_std": float(kl_mh.std()),
+            "gibbs_win_rate": float(np.mean(kl_gibbs < kl_mh)),
+            "t_statistic": float(t_stat),
+            "p_value": float(p_value),
+        }
+
     def run_all_comparisons(self, quick: bool = False) -> List[ComparisonResult]:
         self.compare_sampling_methods(n_samples=500 if quick else 2_000)
         self.compare_optimization_methods(time_budget_s=0.5 if quick else 2.0)
+        trials = self.run_trials(n_trials=3 if quick else 5)
+        self.results.append(ComparisonResult(
+            name="multi_trial", method="gibbs_vs_mh",
+            metric=trials["gibbs_win_rate"], metric_name="gibbs_win_rate",
+            time_elapsed=0.0,
+            extra={k: round(v, 5) if isinstance(v, float) else v
+                   for k, v in trials.items()},
+        ))
         return self.results

@@ -249,6 +249,26 @@ class IsingGrid(IsingModel):
 
     # -- helpers ------------------------------------------------------------
 
+    def set_coupling(self, i: int, j: int, strength: float):
+        """Per-bond couplings force the dense path (small grids only).
+
+        The stencil fast path assumes a uniform J; editing individual bonds
+        converts the model to a dense-J instance first
+        (cf. tsu/models/ising.py:77-86 which is always dense).
+        """
+        if self._fast:
+            rows, cols = self.shape
+            if rows * cols > 4096:
+                raise ConfigurationError(
+                    "per-bond couplings require the dense path, which is "
+                    f"limited to 4096 spins (grid has {rows * cols}); use a "
+                    "uniform coupling_strength for large lattices"
+                )
+            self._fast = False
+            self.J = np.zeros((self.n_spins, self.n_spins), dtype=np.float32)
+            self._build_dense()
+        super().set_coupling(i, j, strength)
+
     def _build_dense(self):
         """Dense J from the grid stencil (odd-sized fallback; small grids)."""
         rows, cols = self.shape
@@ -363,11 +383,15 @@ class IsingGrid(IsingModel):
         if mesh is not None:
             from tsu_tpu.parallel.lattice import sharded_lattice_sample
 
+            # 2-D spatial sharding when the mesh carries a used "col" axis.
+            col_axis = "col" if mesh.shape.get("col", 1) > 1 else None
             out = sharded_lattice_sample(
                 mesh, jax.random.fold_in(key, 1), lat0,
                 n_samples=n_samples, temperature=T, J=self.coupling_strength,
                 n_burnin=self.config.n_burnin, n_sweeps=self.config.n_sweeps,
-                periodic=self.periodic, use_pallas=self._use_pallas,
+                periodic=self.periodic,
+                use_pallas=self._use_pallas and col_axis is None,
+                col_axis=col_axis,
             )
             return {
                 "magnetization": np.asarray(out["magnetization"]),
@@ -441,14 +465,22 @@ def demonstrate_phase_transition(
     """
     if temperatures is None:
         temperatures = np.linspace(0.5, 4.0, 15)
+    T_c = 2.0 / np.log(1.0 + np.sqrt(2.0))  # Onsager, ≈2.269
     results = {}
     for idx, size in enumerate(sizes):
         mags, chis, cs = [], [], []
         grid = IsingGrid((size, size), coupling_strength=1.0, periodic=True,
                          seed=seed + idx,
                          config=IsingConfig(n_burnin=200, n_sweeps=2))
+        ordered = np.ones(size * size, dtype=np.float32)
         for T in temperatures:
-            samples = grid.sample(n_samples=n_samples, temperature=float(T))
+            # Ordered start below T_c: a random cold quench freezes into
+            # metastable stripe states (|M|≈0, chi≈0); starting from the
+            # ground state samples the equilibrium ordered phase instead.
+            # Above T_c the chain disorders within burn-in either way.
+            init = ordered if T < T_c else None
+            samples = grid.sample(n_samples=n_samples, temperature=float(T),
+                                  initial_state=init)
             mags.append(abs(grid.magnetization(samples)))
             chis.append(grid.susceptibility(samples, temperature=float(T)))
             cs.append(grid.specific_heat(samples, temperature=float(T)))

@@ -300,12 +300,18 @@ class BayesianNetwork:
         kl_weight: float = 0.01,
         n_samples_per_batch: int = 3,
         verbose: bool = False,
+        mesh=None,
     ) -> dict:
         """SVI training loop (cf. tsu/ml.py:358-456).
 
         Each optimizer step is one jitted ELBO value_and_grad with
         ``n_samples_per_batch`` vmapped MC weight draws (the reference runs
         them as separate Python passes with in-loop updates — quirk Q5).
+
+        Pass ``mesh`` (with a ``chains`` axis) to shard each minibatch across
+        devices: XLA partitions the forward/backward and reduces gradients
+        automatically (data parallelism; batch_size should be divisible by
+        the axis size).
         """
         x = np.atleast_2d(np.asarray(x, dtype=np.float32))
         y = np.asarray(y, dtype=np.float32).reshape(x.shape[0], -1)
@@ -316,14 +322,24 @@ class BayesianNetwork:
         opt_state = optimizer.init(self.params)
         rng = np.random.default_rng(int(jax.random.randint(self._next_key(), (), 0, 2**31 - 1)))
 
+        batch_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            batch_sharding = NamedSharding(mesh, P("chains", None))
+
         for epoch in range(n_epochs):
             perm = rng.permutation(n)
             epoch_loss, epoch_kl, n_batches = 0.0, 0.0, 0
             for start in range(0, n, batch_size):
                 idx = perm[start : start + batch_size]
+                xb, yb = jnp.asarray(x[idx]), jnp.asarray(y[idx])
+                if batch_sharding is not None and len(idx) == batch_size:
+                    xb = jax.device_put(xb, batch_sharding)
+                    yb = jax.device_put(yb, batch_sharding)
                 self.params, opt_state, loss, mse, kl = _train_step(
                     self.params, opt_state, self._next_key(),
-                    jnp.asarray(x[idx]), jnp.asarray(y[idx]),
+                    xb, yb,
                     kl_weight, self.temperature, self.prior_std,
                     n_mc=n_samples_per_batch,
                     activation=self.activation,

@@ -104,6 +104,50 @@ def neighbor_sum_half_halo(
     return up + down + horiz
 
 
+def neighbor_sum_half_halo2d(
+    other: jax.Array,
+    up_row: jax.Array,
+    down_row: jax.Array,
+    left_col: jax.Array,
+    right_col: jax.Array,
+    update_red: bool,
+):
+    """4-neighbor sum with explicit halos on ALL four sides (2-D sharding).
+
+    ``left_col``/``right_col`` have shape (..., R, 1): the compact columns
+    j2-1 / j2+1 adjacent to this shard (ppermute'd neighbors, wrap columns,
+    or zeros at open boundaries — a zero halo contributes nothing, so no
+    in-kernel edge masking is needed). Row parity logic is column-offset
+    independent, so any even column split of the lattice works.
+    """
+    R = other.shape[-2]
+    row_is_even = (jnp.arange(R) % 2 == 0)[:, None]
+
+    up = jnp.concatenate([up_row, other[..., :-1, :]], axis=-2)
+    down = jnp.concatenate([other[..., 1:, :], down_row], axis=-2)
+    left_shift = jnp.concatenate([left_col, other[..., :, :-1]], axis=-1)
+    right_shift = jnp.concatenate([other[..., :, 1:], right_col], axis=-1)
+
+    if update_red:
+        horiz = jnp.where(row_is_even, left_shift + other, other + right_shift)
+    else:
+        horiz = jnp.where(row_is_even, other + right_shift, left_shift + other)
+    return up + down + horiz
+
+
+def halfstep_with_halo2d(
+    key, other, up_row, down_row, left_col, right_col, update_red,
+    temperature, J, field,
+):
+    """Heat-bath resample with four-sided halos (2-D sharded shards)."""
+    nbr = neighbor_sum_half_halo2d(
+        other, up_row, down_row, left_col, right_col, update_red
+    )
+    p_up = jax.nn.sigmoid(2.0 * (J * nbr + field) / temperature)
+    u = jax.random.uniform(key, other.shape)
+    return jnp.where(u < p_up, 1.0, -1.0).astype(other.dtype)
+
+
 def wrap_halos(plane: jax.Array, periodic: bool):
     """Single-device vertical halo rows: periodic wrap or zeros (open)."""
     if periodic:

@@ -33,6 +33,7 @@ from jax import shard_map
 
 from tsu_tpu.ops.checkerboard import (
     halfstep_with_halo,
+    halfstep_with_halo2d,
     merge_checkerboard,
     split_checkerboard,
 )
@@ -57,8 +58,43 @@ def _halo_exchange(plane, axis_name: str, periodic: bool):
     return up_row, down_row
 
 
-def _make_local_halfstep(axis_name, periodic, use_pallas, J, field, temperature):
+def _halo_exchange_cols(plane, axis_name: str, periodic: bool):
+    """Column analog of :func:`_halo_exchange` on compact color planes.
+
+    Returns (left_col, right_col) of shape (R_local, 1): the compact columns
+    j2-1 / j2+1 adjacent to this column shard's block. Compact-column
+    adjacency is offset-independent (the red/black horizontal-neighbor rule
+    only depends on row parity), so the wrap permute realises periodic
+    horizontal boundaries exactly as jnp.roll does on an unsharded plane.
+    """
+    n = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    fwd = [(i, (i + 1) % n) for i in range(n)]
+    bwd = [(i, (i - 1) % n) for i in range(n)]
+    left_col = jax.lax.ppermute(plane[:, -1:], axis_name, fwd)
+    right_col = jax.lax.ppermute(plane[:, :1], axis_name, bwd)
+    if not periodic:
+        left_col = jnp.where(idx == 0, 0.0, left_col)
+        right_col = jnp.where(idx == n - 1, 0.0, right_col)
+    return left_col, right_col
+
+
+def _make_local_halfstep(
+    axis_name, periodic, use_pallas, J, field, temperature, col_axis=None
+):
     """Build the per-shard half-sweep: halo exchange + color update."""
+
+    if col_axis is not None:
+
+        def one_halfstep2d(k, seed, other, update_red):
+            up, down = _halo_exchange(other, axis_name, periodic)
+            left, right = _halo_exchange_cols(other, col_axis, periodic)
+            return halfstep_with_halo2d(
+                k, other, up, down, left, right, update_red,
+                temperature, J, field,
+            )
+
+        return one_halfstep2d
 
     def one_halfstep(k, seed, other, update_red):
         up, down = _halo_exchange(other, axis_name, periodic)
@@ -76,12 +112,12 @@ def _make_local_halfstep(axis_name, periodic, use_pallas, J, field, temperature)
     return one_halfstep
 
 
-def _local_observables(red, black, axis_name, periodic, J, field):
-    """Per-shard (M, E) partial sums reduced with psum along the row axis.
+def _local_observables(red, black, axis_name, periodic, J, field, col_axis=None):
+    """Per-shard (M, E) partial sums reduced with psum over the mesh axes.
 
-    Vertical bonds crossing the shard boundary are attributed to the shard
-    that owns the upper row (its "down" bond), delivered by halo exchange of
-    the merged local lattice's first row.
+    Bonds crossing a shard boundary are attributed to the shard that owns the
+    upper row / left column (its "down"/"right" bond), delivered by halo
+    exchange of the merged local lattice's first row / column.
     """
     lat = merge_checkerboard(red, black)
     n = jax.lax.axis_size(axis_name)
@@ -91,16 +127,25 @@ def _local_observables(red, black, axis_name, periodic, J, field):
     if not periodic:
         down_halo = jnp.where(idx == n - 1, 0.0, down_halo)
 
-    C = lat.shape[1]
     horiz = jnp.sum(lat[:, :-1] * lat[:, 1:])
-    if periodic:
-        horiz = horiz + jnp.sum(lat[:, -1] * lat[:, 0])
+    if col_axis is None:
+        if periodic:
+            horiz = horiz + jnp.sum(lat[:, -1] * lat[:, 0])
+    else:
+        nc = jax.lax.axis_size(col_axis)
+        cidx = jax.lax.axis_index(col_axis)
+        cfwd = [(i, (i - 1) % nc) for i in range(nc)]
+        right_halo = jax.lax.ppermute(lat[:, :1], col_axis, cfwd)
+        if not periodic:
+            right_halo = jnp.where(cidx == nc - 1, 0.0, right_halo)
+        horiz = horiz + jnp.sum(lat[:, -1:] * right_halo)
     vert = jnp.sum(lat[:-1, :] * lat[1:, :]) + jnp.sum(lat[-1:, :] * down_halo)
     e_local = -J * (horiz + vert) - field * jnp.sum(lat)
     m_local = jnp.sum(lat)
+    axes = (axis_name,) if col_axis is None else (axis_name, col_axis)
     return (
-        jax.lax.psum(m_local, axis_name),
-        jax.lax.psum(e_local, axis_name),
+        jax.lax.psum(m_local, axes),
+        jax.lax.psum(e_local, axes),
     )
 
 
@@ -117,20 +162,28 @@ def sharded_checkerboard_sweeps(
     periodic: bool = True,
     use_pallas: bool = False,
     axis_name: str = "row",
+    col_axis: str | None = None,
 ):
-    """n_sweeps full sweeps on compact color planes sharded over ``axis_name``.
+    """n_sweeps full sweeps on compact color planes sharded over ``axis_name``
+    (rows) and optionally ``col_axis`` (compact columns — 2-D sharding).
 
-    ``red``/``black`` have global shape (R, C/2), sharded (axis_name, None).
-    Returns updated (red, black) with the same sharding.
+    ``red``/``black`` have global shape (R, C/2), sharded
+    (axis_name, col_axis). Returns updated (red, black), same sharding.
     """
     n_shards = mesh.shape[axis_name]
-    R = red.shape[0]
+    R, C2 = red.shape
     assert R % n_shards == 0 and (R // n_shards) % 2 == 0, (
         f"rows per shard must be even: R={R}, shards={n_shards}"
     )
-    spec = P(axis_name, None)
+    if col_axis is not None:
+        assert not use_pallas, "pallas path supports row sharding only"
+        assert C2 % mesh.shape[col_axis] == 0, (
+            f"compact columns must divide evenly: C/2={C2}, "
+            f"shards={mesh.shape[col_axis]}"
+        )
+    spec = P(axis_name, col_axis)
     local_halfstep = _make_local_halfstep(
-        axis_name, periodic, use_pallas, J, field, temperature
+        axis_name, periodic, use_pallas, J, field, temperature, col_axis
     )
 
     @partial(
@@ -142,6 +195,8 @@ def sharded_checkerboard_sweeps(
     )
     def run(key, red_l, black_l):
         shard = jax.lax.axis_index(axis_name)
+        if col_axis is not None:
+            shard = shard * jax.lax.axis_size(col_axis) + jax.lax.axis_index(col_axis)
         key = jax.random.fold_in(key, shard)
 
         def body(carry, inp):
@@ -176,8 +231,11 @@ def sharded_lattice_sample(
     periodic: bool = True,
     use_pallas: bool = False,
     axis_name: str = "row",
+    col_axis: str | None = None,
 ):
-    """Sample observables from a row-sharded lattice in ONE compiled program.
+    """Sample observables from a spatially-sharded lattice in ONE compiled
+    program (row sharding, or 2-D row×column sharding when ``col_axis`` is
+    given).
 
     Returns dict of per-sample global magnetization (per spin) and energy plus
     the final sharded planes. Full states stay sharded on device; only
@@ -188,10 +246,16 @@ def sharded_lattice_sample(
     assert R % n_shards == 0 and (R // n_shards) % 2 == 0, (
         f"rows per shard must be even: R={R}, shards={n_shards}"
     )
+    if col_axis is not None:
+        assert not use_pallas, "pallas path supports row sharding only"
+        assert (C // 2) % mesh.shape[col_axis] == 0, (
+            f"compact columns must divide evenly: C/2={C // 2}, "
+            f"shards={mesh.shape[col_axis]}"
+        )
     n_sites = R * C
-    spec = P(axis_name, None)
+    spec = P(axis_name, col_axis)
     local_halfstep = _make_local_halfstep(
-        axis_name, periodic, use_pallas, J, field, temperature
+        axis_name, periodic, use_pallas, J, field, temperature, col_axis
     )
 
     red, black = split_checkerboard(jnp.asarray(lattice0, dtype=jnp.float32))
@@ -208,6 +272,8 @@ def sharded_lattice_sample(
     )
     def run(key, red_l, black_l):
         shard = jax.lax.axis_index(axis_name)
+        if col_axis is not None:
+            shard = shard * jax.lax.axis_size(col_axis) + jax.lax.axis_index(col_axis)
         key = jax.random.fold_in(key, shard)
 
         def sweeps(carry, step_base, k, n):
@@ -238,7 +304,9 @@ def sharded_lattice_sample(
                 jax.random.fold_in(key, 1 + i),
                 n_sweeps,
             )
-            m, e = _local_observables(red_l, black_l, axis_name, periodic, J, field)
+            m, e = _local_observables(
+                red_l, black_l, axis_name, periodic, J, field, col_axis
+            )
             return (red_l, black_l), (m / n_sites, e)
 
         (red_l, black_l), (ms, es) = jax.lax.scan(

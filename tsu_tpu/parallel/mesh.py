@@ -20,21 +20,23 @@ def make_mesh(
     replica: int = 1,
     chains: int = 1,
     rows: int = 1,
+    cols: int = 1,
     devices: Optional[Sequence] = None,
 ) -> Mesh:
-    """Build a Mesh with axes ("replica", "chains", "row").
+    """Build a Mesh with axes ("replica", "chains", "row", "col").
 
     The product must equal the device count used. Pass explicit sizes for the
     axes you shard; leave the rest at 1.
     """
     devices = list(devices if devices is not None else jax.devices())
-    n = replica * chains * rows
+    n = replica * chains * rows * cols
     if n > len(devices):
         raise ValueError(
-            f"mesh {replica}x{chains}x{rows} needs {n} devices, have {len(devices)}"
+            f"mesh {replica}x{chains}x{rows}x{cols} needs {n} devices, "
+            f"have {len(devices)}"
         )
-    devs = np.array(devices[:n]).reshape(replica, chains, rows)
-    return Mesh(devs, ("replica", "chains", "row"))
+    devs = np.array(devices[:n]).reshape(replica, chains, rows, cols)
+    return Mesh(devs, ("replica", "chains", "row", "col"))
 
 
 def mesh_info(mesh: Mesh) -> dict:
