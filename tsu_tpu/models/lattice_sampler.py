@@ -45,40 +45,22 @@ def sample_grid(
         # consumes O(nblocks) seeds per sweep; stride generously.
         base = jax.random.randint(key, (), 0, 2**30, dtype=jnp.int32)
         R, C = lattice0.shape
-        from tsu_tpu.ops.checkerboard_resident import resident_fits
 
-        if R % 16 == 0 and resident_fits(R, C // 2, 2):
-            # Fastest path: both planes VMEM-resident (bf16 storage; spins
-            # are exact in bf16), all sweeps per call in one kernel launch.
-            from tsu_tpu.ops.checkerboard_resident import resident_sweeps
-
-            def sweeps(i, red, black, n):
-                red16, black16 = resident_sweeps(
-                    base + i * jnp.int32(1_000_033),
-                    red.astype(jnp.bfloat16), black.astype(jnp.bfloat16),
-                    temperature, jnp.int32(n),
-                    J=J, field=field, periodic=periodic,
-                )
-                return red16.astype(red.dtype), black16.astype(black.dtype)
-        elif R % 16 == 0 and resident_fits(R, C // 2, 4):
-            # bf16 excluded for this shape (see resident_fits guard) but the
-            # f32 planes still fit VMEM.
-            from tsu_tpu.ops.checkerboard_resident import resident_sweeps
-
-            def sweeps(i, red, black, n):
-                return resident_sweeps(
-                    base + i * jnp.int32(1_000_033), red, black,
-                    temperature, jnp.int32(n),
-                    J=J, field=field, periodic=periodic,
-                )
-        elif R % 8 == 0:
+        if R % 8 == 0:
+            # Fastest path: the fused kernel (red+black in one grid pass,
+            # bf16 storage — spins are exact in bf16). Its row-band grid
+            # pipelines HBM traffic against compute, which beats the
+            # VMEM-resident kernel's serial chunk loop at every measured
+            # size (docs/BENCHMARKS.md).
             from tsu_tpu.ops.checkerboard_fused import fused_sweeps
 
             def sweeps(i, red, black, n):
-                return fused_sweeps(
-                    base + i * jnp.int32(1_000_033), red, black, temperature, n,
-                    J=J, field=field, periodic=periodic,
+                red16, black16 = fused_sweeps(
+                    base + i * jnp.int32(1_000_033),
+                    red.astype(jnp.bfloat16), black.astype(jnp.bfloat16),
+                    temperature, n, J=J, field=field, periodic=periodic,
                 )
+                return red16.astype(red.dtype), black16.astype(black.dtype)
         else:
             from tsu_tpu.ops.checkerboard_pallas import (
                 checkerboard_sweeps_planes_pallas,

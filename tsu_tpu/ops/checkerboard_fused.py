@@ -40,18 +40,28 @@ def _u24(shape):
     return pltpu.bitcast(bits >> 8, jnp.int32)
 
 
-def _heatbath_table(nbr, u24, table_ref, dtype):
+def _heatbath_table(nbr, u24, table_ref, dtype, even_only=False):
     """Heat-bath draw via integer threshold table — no transcendentals.
 
     For a uniform stencil the local field takes only the 9 values
     J*k + field, k = nbr in {-4..4}; the caller precomputes int24 thresholds
     t[k+4] = round(sigmoid(2(Jk+field)/T) * 2^24) so the update is a pure
     integer compare against raw PRNG bits. Exact to ~6e-8 in probability.
+
+    ``even_only``: on a periodic lattice every site has exactly 4 neighbors,
+    so the sum of four +-1 spins is always even — only {-4,-2,0,2,4} occur
+    and 4 compare+selects suffice (open boundaries produce odd sums via
+    zeroed halo spins, so they need the full 9-entry path). ``nbr`` holds
+    exact small integers in f32; the equality compares are exact.
     """
-    nbr_i = nbr.astype(jnp.int32) + 4  # 0..8
     thresh = jnp.full(nbr.shape, table_ref[0], dtype=jnp.int32)
-    for k in range(1, 9):
-        thresh = jnp.where(nbr_i == k, table_ref[k], thresh)
+    if even_only:
+        for k in (2, 4, 6, 8):
+            thresh = jnp.where(nbr == float(k - 4), table_ref[k], thresh)
+    else:
+        nbr_i = nbr.astype(jnp.int32) + 4  # 0..8
+        for k in range(1, 9):
+            thresh = jnp.where(nbr_i == k, table_ref[k], thresh)
     return jnp.where(u24 < thresh, 1.0, -1.0).astype(dtype)
 
 
@@ -67,20 +77,21 @@ def _horiz(other_f32, row_parity_offset, update_red, periodic):
     """Horizontal neighbor sums in the compact layout.
 
     row_parity_offset: 0 if row 0 of the array has even global parity,
-    1 otherwise (the extended red band starts one row early).
+    1 otherwise (the extended red band starts one row early). The
+    compact-layout identity ``horiz = other + select(parity, left_shift,
+    right_shift)`` costs one add + one select instead of two adds + one
+    select.
     """
     R, C2 = other_f32.shape
-    left_shift = pltpu.roll(other_f32, 1, 1)
-    right_shift = pltpu.roll(other_f32, C2 - 1, 1)
     row_par = (jax.lax.broadcasted_iota(jnp.int32, (R, C2), 0)
                + row_parity_offset) % 2
     row_is_even = row_par == 0
+    left_shift = pltpu.roll(other_f32, 1, 1)
+    right_shift = pltpu.roll(other_f32, C2 - 1, 1)
     if update_red:
-        horiz = jnp.where(row_is_even, left_shift + other_f32,
-                          other_f32 + right_shift)
+        horiz = other_f32 + jnp.where(row_is_even, left_shift, right_shift)
     else:
-        horiz = jnp.where(row_is_even, other_f32 + right_shift,
-                          left_shift + other_f32)
+        horiz = other_f32 + jnp.where(row_is_even, right_shift, left_shift)
     if not periodic:
         col = jax.lax.broadcasted_iota(jnp.int32, (R, C2), 1)
         if update_red:
@@ -125,7 +136,8 @@ def _fused_sweep_kernel(
     # Row 0 of the target has global row i*BR-1: parity offset 1 (BR even).
     horiz_r = _horiz(center_r, 1, True, periodic)
     nbr_r = up_nbr_r + down_nbr_r + horiz_r
-    red_ext = _heatbath_table(nbr_r, _u24((BR + 2, C2)), table_ref, jnp.float32)
+    red_ext = _heatbath_table(nbr_r, _u24((BR + 2, C2)), table_ref,
+                              jnp.float32, even_only=periodic)
 
     if not periodic:
         # Out-of-lattice extension rows must read as 0 for the black update.
@@ -142,7 +154,8 @@ def _fused_sweep_kernel(
     horiz_b = _horiz(center_b, 0, False, periodic)
     nbr_b = up_nbr_b + down_nbr_b + horiz_b
     black_out_ref[:] = _heatbath_table(nbr_b, _u24((BR, C2)), table_ref,
-                                       black_out_ref.dtype)
+                                       black_out_ref.dtype,
+                                       even_only=periodic)
 
 
 def _pick_band(R: int, C2: int, itemsize: int) -> int:

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tsu_tpu.ops.checkerboard_fused import sigmoid_table
+from tsu_tpu.ops.checkerboard_fused import _heatbath_table, sigmoid_table
 
 
 
@@ -99,11 +99,9 @@ def _resident_kernel(
         left_shift = pltpu.roll(other, 1, 1)
         right_shift = pltpu.roll(other, C2 - 1, 1)
         if update_red:
-            horiz = jnp.where(row_is_even, left_shift + other,
-                              other + right_shift)
+            horiz = other + jnp.where(row_is_even, left_shift, right_shift)
         else:
-            horiz = jnp.where(row_is_even, other + right_shift,
-                              left_shift + other)
+            horiz = other + jnp.where(row_is_even, right_shift, left_shift)
         if not periodic:
             if update_red:
                 wrap_left = row_is_even & (col == 0)
@@ -114,13 +112,9 @@ def _resident_kernel(
             horiz = jnp.where(wrap_left | wrap_right, other, horiz)
 
         nbr = up + down + horiz
-        nbr_i = nbr.astype(jnp.int32) + 4
-        thresh = jnp.full((_CHUNK, C2), table_ref[0], dtype=jnp.int32)
-        for k in range(1, 9):
-            thresh = jnp.where(nbr_i == k, table_ref[k], thresh)
         u = _u24((_CHUNK, C2))
-        mine_ref[pl.ds(a, _CHUNK), :] = jnp.where(u < thresh, 1.0, -1.0).astype(
-            mine_ref.dtype
+        mine_ref[pl.ds(a, _CHUNK), :] = _heatbath_table(
+            nbr, u, table_ref, mine_ref.dtype, even_only=periodic
         )
 
     def sweep_body(s, _):
@@ -265,11 +259,9 @@ def _resident_anneal_kernel(
         left_shift = pltpu.roll(other, 1, 1)
         right_shift = pltpu.roll(other, C2 - 1, 1)
         if update_red:
-            horiz = jnp.where(row_is_even, left_shift + other,
-                              other + right_shift)
+            horiz = other + jnp.where(row_is_even, left_shift, right_shift)
         else:
-            horiz = jnp.where(row_is_even, other + right_shift,
-                              left_shift + other)
+            horiz = other + jnp.where(row_is_even, right_shift, left_shift)
         if not periodic:
             if update_red:
                 wrap_left = row_is_even & (col == 0)
@@ -280,10 +272,15 @@ def _resident_anneal_kernel(
             horiz = jnp.where(wrap_left | wrap_right, other, horiz)
 
         nbr = up + down + horiz
-        nbr_i = nbr.astype(jnp.int32) + 4
         thresh = jnp.full((_CHUNK, C2), tables_ref[s * 9], dtype=jnp.int32)
-        for k in range(1, 9):
-            thresh = jnp.where(nbr_i == k, tables_ref[s * 9 + k], thresh)
+        if periodic:
+            for k in (2, 4, 6, 8):
+                thresh = jnp.where(nbr == float(k - 4), tables_ref[s * 9 + k],
+                                   thresh)
+        else:
+            nbr_i = nbr.astype(jnp.int32) + 4
+            for k in range(1, 9):
+                thresh = jnp.where(nbr_i == k, tables_ref[s * 9 + k], thresh)
         u = _u24((_CHUNK, C2))
         mine_ref[pl.ds(a, _CHUNK), :] = jnp.where(u < thresh, 1.0, -1.0).astype(
             mine_ref.dtype
