@@ -145,3 +145,27 @@ class TestBackend:
         if jax.default_backend() != "tpu":
             with pytest.raises(ConfigurationError):
                 GaussianSampler(backend=Backend.TPU)
+
+
+class TestReferenceAliases:
+    """Drop-in parity with the reference's parameter names
+    (tsu/api.py:75-108,199-214: ``n``, ``return_metadata``, ``centers``)."""
+
+    def test_sample_n_alias_and_bare_array(self):
+        s = GaussianSampler(mu=0.0, sigma=1.0, seed=0)
+        bare = s.sample(n=300, return_metadata=False)
+        assert isinstance(bare, np.ndarray)
+        assert bare.shape[0] == 300
+
+    def test_functional_n_alias(self):
+        from tsu_tpu.api import sample_gaussian
+
+        out = sample_gaussian(mu=1.0, sigma=2.0, n=400)
+        assert out.shape == (400,)
+        assert abs(float(np.mean(out)) - 1.0) < 0.5
+
+    def test_multimodal_centers_alias(self):
+        from tsu_tpu.api import sample_multimodal
+
+        out = sample_multimodal(centers=[-3.0, 0.0, 3.0], n=300)
+        assert out.shape == (300,)

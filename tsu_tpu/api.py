@@ -79,12 +79,31 @@ class Sampler(ABC):
     def _get_initial_state(self) -> np.ndarray:
         return np.zeros(1, dtype=np.float32)
 
-    def sample(self, n_samples: int = 1000) -> SamplingResult:
+    def sample(
+        self,
+        n_samples: int = 1000,
+        return_metadata: bool = True,
+        *,
+        n: Optional[int] = None,
+    ):
+        """Draw ``n_samples`` samples.
+
+        Returns a :class:`SamplingResult` (timing + device metadata) by
+        default; ``return_metadata=False`` returns the bare sample array,
+        matching the reference's ``Sampler.sample(n, return_metadata)``
+        surface (cf. tsu/api.py:75-108 — whose default is the bare array;
+        here the richer result is the default, ``.samples`` is the array).
+        ``n`` is accepted as an alias for ``n_samples``.
+        """
+        if n is not None:
+            n_samples = n
         start = time.perf_counter()
         samples = self.tsu.sample_from_energy(
             self.energy_function, self._get_initial_state(), n_samples
         )
         elapsed = time.perf_counter() - start
+        if not return_metadata:
+            return np.asarray(samples)
         return SamplingResult(
             samples=samples,
             n_samples=n_samples,
@@ -172,9 +191,19 @@ class BayesianSampler(Sampler):
 
 
 def sample_gaussian(
-    mu: float = 0.0, sigma: float = 1.0, n_samples: int = 1000, **kwargs
+    mu: float = 0.0,
+    sigma: float = 1.0,
+    n_samples: int = 1000,
+    *,
+    n: Optional[int] = None,
+    **kwargs,
 ) -> np.ndarray:
-    """Functional Gaussian sampling (cf. tsu/api.py:199-206)."""
+    """Functional Gaussian sampling (cf. tsu/api.py:199-206).
+
+    ``n`` is accepted as an alias for ``n_samples`` (the reference's name).
+    """
+    if n is not None:
+        n_samples = n
     return GaussianSampler(mu, sigma, **kwargs).sample(n_samples).samples.ravel()
 
 
@@ -182,9 +211,22 @@ def sample_multimodal(
     modes: List[float] = (-2.0, 2.0),
     sigmas: List[float] = (0.5, 0.5),
     n_samples: int = 1000,
+    *,
+    n: Optional[int] = None,
+    centers: Optional[List[float]] = None,
     **kwargs,
 ) -> np.ndarray:
-    """Functional mixture sampling (cf. tsu/api.py:208-214)."""
+    """Functional mixture sampling (cf. tsu/api.py:208-214).
+
+    ``n`` / ``centers`` are accepted as aliases for ``n_samples`` / ``modes``
+    (the reference's parameter names).
+    """
+    if n is not None:
+        n_samples = n
+    if centers is not None:
+        modes = centers
+        if len(sigmas) != len(modes):
+            sigmas = [0.5] * len(modes)
     return MultimodalSampler(modes, sigmas, **kwargs).sample(n_samples).samples.ravel()
 
 
