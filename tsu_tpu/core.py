@@ -66,6 +66,15 @@ class ThermalSamplingUnit:
         n_chains = cfg.n_chains
         per_chain = -(-n_samples // n_chains)  # ceil
 
+        # Scale-invariant preconditioning: one Hessian-vector probe at x0
+        # estimates the energy's local curvature k ~ 1/sigma^2; rescaling the
+        # particle mass (underdamped) or friction (overdamped) by k makes the
+        # mixing time independent of the target's length scale, so wide
+        # distributions (sigma >> 1) decorrelate as fast as unit-scale ones.
+        curvature = self._estimate_curvature(energy_fn, x0)
+        mass = cfg.mass * curvature if cfg.underdamped else cfg.mass
+        friction = cfg.friction if cfg.underdamped else cfg.friction * curvature
+
         key = self._next_key()
         # Jitter per-chain starts (the reference re-jitters each sample,
         # tsu/core.py:141-143; here chains are genuinely parallel).
@@ -79,8 +88,8 @@ class ThermalSamplingUnit:
             n_samples=per_chain,
             temperature=cfg.temperature,
             dt=cfg.dt,
-            friction=cfg.friction,
-            mass=cfg.mass,
+            friction=friction,
+            mass=mass,
             n_burnin=cfg.n_burnin,
             n_steps=max(1, cfg.n_steps // 10),
             underdamped=cfg.underdamped,
@@ -89,6 +98,24 @@ class ThermalSamplingUnit:
         out = np.asarray(samples).transpose(1, 0, 2).reshape(-1, x0.shape[0])[:n_samples]
         self.sample_count += n_samples
         return out
+
+    @staticmethod
+    def _estimate_curvature(energy_fn: Callable, x0: jax.Array) -> float:
+        """Hutchinson estimate of the mean Hessian diagonal of E at x0.
+
+        Clamped to [1e-3, 1e4] and to positive values so saddle/flat starting
+        points degrade gracefully to the unpreconditioned dynamics.
+        """
+        try:
+            grad_e = jax.grad(energy_fn)
+            v = np.ones(x0.shape, dtype=np.float32)
+            hvp = jax.jvp(grad_e, (x0,), (jnp.asarray(v),))[1]
+            k = float(jnp.vdot(v, hvp) / jnp.vdot(v, v))
+        except Exception:
+            return 1.0
+        if not np.isfinite(k) or k <= 0.0:
+            return 1.0
+        return float(np.clip(k, 1e-3, 1e4))
 
     def p_bit(self, prob: float, n_samples: int = 1) -> np.ndarray:
         """Sample Bernoulli(prob) bits, exactly (cf. tsu/core.py:164-203, Q2).
