@@ -101,3 +101,20 @@ class TestDemos:
 
         out = demo_continuous_sampling(n_samples=500, seed=0)
         assert out["tsu"]["coverage"]["n_modes_covered"] == 3
+
+    @pytest.mark.slow
+    def test_analyze_results_report(self):
+        from tsu_tpu.demos import (
+            MultimodalDistribution,
+            analyze_results,
+            demo_continuous_sampling,
+        )
+
+        dist = MultimodalDistribution(seed=0)
+        res = demo_continuous_sampling(n_samples=300, seed=0)
+        out = analyze_results(res, dist, hardware_time_s=1e-4)
+        assert 0.0 <= out["mode_coverage_tsu"] <= 1.0
+        assert out["metric_wins"] in (0, 1, 2, 3)
+        assert out["time_ratio"] > 0
+        assert out["hardware_speedup"] > 0
+        assert np.isfinite(out["tsu_quality"]["mean_energy"])

@@ -178,6 +178,79 @@ def demo_bayesian_inference(seed: int = 0, make_plots: bool = False) -> dict:
     }
 
 
+def _energy_stats(energy_fn, samples: np.ndarray) -> dict:
+    e = np.asarray(
+        jax.vmap(energy_fn)(jnp.asarray(samples, dtype=jnp.float32))
+    )
+    return {
+        "mean_energy": float(e.mean()),
+        "std_energy": float(e.std()),
+        "min_energy": float(e.min()),
+    }
+
+
+def analyze_results(results: dict, dist: MultimodalDistribution,
+                    hardware_time_s: Optional[float] = None) -> dict:
+    """Statistical analysis report comparing the TSU engine with the MCMC
+    baseline (cf. tsu/demos.py:434-579).
+
+    Takes the dict returned by :func:`demo_continuous_sampling` and prints a
+    formatted report; returns the analysis summary. ``hardware_time_s`` is an
+    optional projected-hardware wall time (see tsu_tpu.hardware) for the
+    emulator-to-hardware speedup row.
+    """
+    tsu, mcmc = results["tsu"], results["mcmc"]
+    tsu_q = _energy_stats(dist.energy, tsu["samples"])
+    mcmc_q = _energy_stats(dist.energy, mcmc["samples"])
+    tsu_cov = tsu["coverage"]["n_modes_covered"]
+    mcmc_cov = mcmc["coverage"]["n_modes_covered"]
+
+    print("\n" + "=" * 72)
+    print("DETAILED STATISTICAL ANALYSIS")
+    print("=" * 72)
+    print(f"{'Metric':<28} {'TSU':>16} {'MCMC':>16}")
+    print("-" * 72)
+    print(f"{'Sample count':<28} {len(tsu['samples']):>16} {len(mcmc['samples']):>16}")
+    for k, label in (("mean_energy", "Mean energy"),
+                     ("std_energy", "Std energy"),
+                     ("min_energy", "Min energy")):
+        print(f"{label:<28} {tsu_q[k]:>16.4f} {mcmc_q[k]:>16.4f}")
+    print(f"{'Modes found':<28} {tsu_cov:>14}/{dist.n_modes} {mcmc_cov:>14}/{dist.n_modes}")
+    print(f"{'Wall time (s)':<28} {tsu['time_s']:>16.2f} {mcmc['time_s']:>16.2f}")
+
+    time_ratio = tsu["time_s"] / max(mcmc["time_s"], 1e-12)
+    print(f"\nTSU/MCMC time ratio: {time_ratio:.2f}x")
+    hardware_speedup = None
+    if hardware_time_s is not None and hardware_time_s > 0:
+        hardware_speedup = tsu["time_s"] / hardware_time_s
+        print(f"Projected hardware time: {hardware_time_s * 1e6:.2f} us "
+              f"({hardware_speedup:.0e}x emulator-to-hardware speedup)")
+
+    wins = sum([
+        tsu_q["min_energy"] < mcmc_q["min_energy"],
+        tsu_cov > mcmc_cov,
+        tsu_q["std_energy"] < mcmc_q["std_energy"],
+    ])
+    verdicts = {0: "comparable to", 3: "outperforms on all metrics"}
+    print(f"\nAssessment: TSU {verdicts.get(wins, f'{wins}/3 metric advantages vs')} "
+          "classical MCMC on this instance")
+
+    mcmc_mean = mcmc_q["mean_energy"]
+    return {
+        "tsu_quality": tsu_q,
+        "mcmc_quality": mcmc_q,
+        "mean_energy_improvement": (
+            (mcmc_mean - tsu_q["mean_energy"]) / abs(mcmc_mean) * 100.0
+            if mcmc_mean != 0 else 0.0
+        ),
+        "mode_coverage_tsu": tsu_cov / dist.n_modes,
+        "mode_coverage_mcmc": mcmc_cov / dist.n_modes,
+        "time_ratio": time_ratio,
+        "hardware_speedup": hardware_speedup,
+        "metric_wins": wins,
+    }
+
+
 def run_all_demos(seed: int = 0):
     demo_continuous_sampling(seed=seed)
     demo_phase_transition(seed=seed)
