@@ -40,6 +40,21 @@ def _u24(shape):
     return pltpu.bitcast(bits >> 8, jnp.int32)
 
 
+def _u16_pair(shape):
+    """Two independent int32 uniforms in [0, 2^16) from ONE PRNG draw.
+
+    The kernel is VPU-bound, and random-bit generation is a large slice of
+    the per-site work; splitting each 32-bit draw into two 16-bit uniforms
+    (low half -> red update, high half -> black update) halves it. 16-bit
+    thresholds quantize probabilities to 2^-16 (abs err <= 7.6e-6) — far
+    below the statistical resolution of any physics observable here.
+    """
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    lo = pltpu.bitcast(bits & jnp.uint32(0xFFFF), jnp.int32)
+    hi = pltpu.bitcast(bits >> 16, jnp.int32)
+    return lo, hi
+
+
 def _heatbath_table(nbr, u24, table_ref, dtype, even_only=False):
     """Heat-bath draw via integer threshold table — no transcendentals.
 
@@ -73,19 +88,33 @@ def sigmoid_table(J: float, field: float, temperature) -> jax.Array:
     return jnp.clip((p * 16777216.0), 0, 16777215).astype(jnp.int32)
 
 
-def _horiz(other_f32, row_parity_offset, update_red, periodic):
-    """Horizontal neighbor sums in the compact layout.
+def sigmoid_table16(J: float, field: float, temperature) -> jax.Array:
+    """(9,) int32 16-bit thresholds matching the :func:`_u16_pair` uniforms."""
+    k = jnp.arange(-4, 5, dtype=jnp.float32)
+    p = jax.nn.sigmoid(2.0 * (J * k + field) / temperature)
+    return jnp.clip((p * 65536.0), 0, 65535).astype(jnp.int32)
+
+
+def _row_is_even(shape, row_parity_offset):
+    """Boolean mask: rows with even global parity.
 
     row_parity_offset: 0 if row 0 of the array has even global parity,
-    1 otherwise (the extended red band starts one row early). The
-    compact-layout identity ``horiz = other + select(parity, left_shift,
+    1 otherwise (the extended red band starts one row early).
+    """
+    row_par = (jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+               + row_parity_offset) % 2
+    return row_par == 0
+
+
+def _horiz(other_f32, row_is_even, update_red, periodic):
+    """Horizontal neighbor sums in the compact layout.
+
+    The compact-layout identity ``horiz = other + select(parity, left_shift,
     right_shift)`` costs one add + one select instead of two adds + one
-    select.
+    select. ``row_is_even`` is precomputed by the caller (red and black
+    bands share one iota; their masks are row-shifted views of each other).
     """
     R, C2 = other_f32.shape
-    row_par = (jax.lax.broadcasted_iota(jnp.int32, (R, C2), 0)
-               + row_parity_offset) % 2
-    row_is_even = row_par == 0
     left_shift = pltpu.roll(other_f32, 1, 1)
     right_shift = pltpu.roll(other_f32, C2 - 1, 1)
     if update_red:
@@ -119,10 +148,17 @@ def _fused_sweep_kernel(
     nb = pl.num_programs(0)
     pltpu.prng_seed(seed_ref[0] + i)
 
-    black = black_ref[:].astype(jnp.float32)
+    # Compute in f32: Mosaic's lane rotate (pltpu.roll in _horiz) requires
+    # 32-bit data, so spins are widened once on load and narrowed on store.
+    dtype = jnp.float32
+    black = black_ref[:].astype(dtype)
     BR, C2 = black.shape
-    up2 = up_ref[0:2, :].astype(jnp.float32)
-    down2 = down_ref[0:2, :].astype(jnp.float32)
+    up2 = up_ref[0:2, :].astype(dtype)
+    down2 = down_ref[0:2, :].astype(dtype)
+
+    # One 32-bit PRNG draw per site-column feeds BOTH color updates.
+    u_red, u_hi = _u16_pair((BR + 2, C2))
+    u_black = u_hi[1 : BR + 1, :]
 
     # black extended: rows = global [i*BR-2, (i+1)*BR+1], shape (BR+4, C2).
     black_ext = jnp.concatenate([up2, black, down2], axis=0)
@@ -134,16 +170,22 @@ def _fused_sweep_kernel(
     down_nbr_r = black_ext[2:, :]
     center_r = black_ext[1:-1, :]
     # Row 0 of the target has global row i*BR-1: parity offset 1 (BR even).
-    horiz_r = _horiz(center_r, 1, True, periodic)
+    # Masks are built per color: slicing one shared (BR+2, C2) mask at an
+    # unaligned row offset trips a Mosaic layout check at large band sizes.
+    even_r = _row_is_even((BR + 2, C2), 1)
+    even_b = _row_is_even((BR, C2), 0)
+    horiz_r = _horiz(center_r, even_r, True, periodic)
     nbr_r = up_nbr_r + down_nbr_r + horiz_r
-    red_ext = _heatbath_table(nbr_r, _u24((BR + 2, C2)), table_ref,
-                              jnp.float32, even_only=periodic)
+    red_ext = _heatbath_table(nbr_r, u_red, table_ref,
+                              dtype, even_only=periodic)
 
     if not periodic:
         # Out-of-lattice extension rows must read as 0 for the black update.
         grow = jax.lax.broadcasted_iota(jnp.int32, (BR + 2, C2), 0)
-        red_ext = jnp.where((i == 0) & (grow == 0), 0.0, red_ext)
-        red_ext = jnp.where((i == nb - 1) & (grow == BR + 1), 0.0, red_ext)
+        red_ext = jnp.where((i == 0) & (grow == 0), 0.0, red_ext).astype(dtype)
+        red_ext = jnp.where(
+            (i == nb - 1) & (grow == BR + 1), 0.0, red_ext
+        ).astype(dtype)
 
     red_out_ref[:] = red_ext[1:-1, :].astype(red_out_ref.dtype)
 
@@ -151,9 +193,9 @@ def _fused_sweep_kernel(
     up_nbr_b = red_ext[:-2, :]
     down_nbr_b = red_ext[2:, :]
     center_b = red_ext[1:-1, :]
-    horiz_b = _horiz(center_b, 0, False, periodic)
+    horiz_b = _horiz(center_b, even_b, False, periodic)
     nbr_b = up_nbr_b + down_nbr_b + horiz_b
-    black_out_ref[:] = _heatbath_table(nbr_b, _u24((BR, C2)), table_ref,
+    black_out_ref[:] = _heatbath_table(nbr_b, u_black, table_ref,
                                        black_out_ref.dtype,
                                        even_only=periodic)
 
@@ -251,7 +293,7 @@ def fused_sweep_pallas(
         ),
     )(
         jnp.asarray(seed, dtype=jnp.int32).reshape(1),
-        sigmoid_table(J, field, temperature),
+        sigmoid_table16(J, field, temperature),
         black,
         ups,
         downs,
