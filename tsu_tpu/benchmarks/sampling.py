@@ -89,9 +89,22 @@ class SamplingBenchmark:
                         n_sweeps=n_sweeps, n_chains=self.n_chains),
             seed=self.seed,
         )
-        t0 = time.perf_counter()
-        samples = sampler.sample_boltzmann(J, bias=h, n_samples=n_samples)
-        elapsed = time.perf_counter() - t0
+        # Warm-up call with identical static shapes: compilation (and any
+        # first-touch transfer cost) is excluded from the timed run, so
+        # samples/s is steady-state throughput (r1 weakness: timings
+        # conflated first-call compile with execution). Throughput is
+        # best-of-3 with the median recorded alongside (the shared-host
+        # environment shows sporadic ~25 ms scheduling spikes).
+        t_w = time.perf_counter()
+        sampler.sample_boltzmann(J, bias=h, n_samples=n_samples)
+        warmup = time.perf_counter() - t_w
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            samples = sampler.sample_boltzmann(J, bias=h, n_samples=n_samples)
+            times.append(time.perf_counter() - t0)
+        elapsed = min(times)
+        median_elapsed = sorted(times)[len(times) // 2]
 
         kl = kl_divergence_discrete(
             _state_histogram(samples), _exact_distribution(J, h, temperature)
@@ -111,6 +124,11 @@ class SamplingBenchmark:
             time_elapsed=elapsed,
             samples_per_second=n_samples / elapsed,
             bit_flips_per_second=n_samples * n_sweeps * n / elapsed,
+            extra={
+                "warmup_time_s": round(warmup, 4),
+                "median_time_s": round(median_elapsed, 4),
+                "median_samples_per_s": round(n_samples / median_elapsed, 1),
+            },
         )
         self.results.append(result)
         return result

@@ -14,7 +14,13 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from tsu_tpu.samplers.gibbs import boltzmann_energy_batch, gibbs_sweeps
+import numpy as np
+
+from tsu_tpu.samplers.gibbs import (
+    blocked_sweeps,
+    boltzmann_energy_batch,
+    color_groups,
+)
 
 
 def make_schedule(T_initial: float, T_final: float, n_steps: int, kind: str = "exponential"):
@@ -27,7 +33,30 @@ def make_schedule(T_initial: float, T_final: float, n_steps: int, kind: str = "e
     raise ValueError(f"unknown cooling schedule {kind!r}")
 
 
-@partial(jax.jit, static_argnames=("n_steps", "n_chains", "cooling_schedule"))
+@partial(jax.jit, static_argnames=("n_steps", "n_chains"))
+def _sa_dense_scan(key, J, h, colors, schedule, *, n_steps: int, n_chains: int):
+    n = J.shape[0]
+    k_init, k_run = jax.random.split(key)
+    states = jax.random.bernoulli(k_init, 0.5, (n_chains, n)).astype(jnp.float32)
+
+    def body(carry, inp):
+        states, best_states, best_e = carry
+        T, k = inp
+        states = blocked_sweeps(k, states, J, h, T, colors, 1)
+        e = boltzmann_energy_batch(states, J, h)  # (chains,)
+        better = e < best_e
+        best_states = jnp.where(better[:, None], states, best_states)
+        best_e = jnp.minimum(e, best_e)
+        return (states, best_states, best_e), None
+
+    e0 = boltzmann_energy_batch(states, J, h)
+    (_, best_states, best_e), _ = jax.lax.scan(
+        body, (states, states, e0), (schedule, jax.random.split(k_run, n_steps))
+    )
+    i = jnp.argmin(best_e)
+    return best_states[i], best_e[i]
+
+
 def simulated_annealing_dense(
     key,
     J,
@@ -40,32 +69,16 @@ def simulated_annealing_dense(
     n_chains: int = 1,
 ):
     """Anneal bit states on dense J; returns (best_state, best_energy) over
-    all chains and steps (cf. tsu/gibbs.py:340-393)."""
-    n = J.shape[0]
+    all chains and steps (cf. tsu/gibbs.py:340-393).
+
+    All chains advance together through colored block sweeps — one compiled
+    scan over the temperature schedule, batched matmul local fields."""
     schedule = make_schedule(T_initial, T_final, n_steps, cooling_schedule)
-    k_init, k_run = jax.random.split(key)
-    states = jax.random.bernoulli(k_init, 0.5, (n_chains, n)).astype(jnp.float32)
-
-    def chain(key, state):
-        def body(carry, inp):
-            state, best_state, best_e = carry
-            T, k = inp
-            state = gibbs_sweeps(k, state, J, h, T, 1)
-            e = boltzmann_energy_batch(state, J, h)
-            better = e < best_e
-            best_state = jnp.where(better, state, best_state)
-            best_e = jnp.minimum(e, best_e)
-            return (state, best_state, best_e), None
-
-        e0 = boltzmann_energy_batch(state, J, h)
-        (state, best_state, best_e), _ = jax.lax.scan(
-            body, (state, state, e0), (schedule, jax.random.split(key, n_steps))
-        )
-        return best_state, best_e
-
-    best_states, best_es = jax.vmap(chain)(jax.random.split(k_run, n_chains), states)
-    i = jnp.argmin(best_es)
-    return best_states[i], best_es[i]
+    colors = jnp.asarray(color_groups(np.asarray(J)))
+    return _sa_dense_scan(
+        key, jnp.asarray(J, jnp.float32), jnp.asarray(h, jnp.float32),
+        colors, schedule, n_steps=n_steps, n_chains=n_chains,
+    )
 
 
 def anneal_lattice(

@@ -18,7 +18,13 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from tsu_tpu.samplers.gibbs import boltzmann_energy_batch, gibbs_sweeps
+import numpy as np
+
+from tsu_tpu.samplers.gibbs import (
+    blocked_sweeps,
+    boltzmann_energy_batch,
+    color_groups,
+)
 
 
 def _swap_permutation(key, energies, betas, offset):
@@ -50,7 +56,8 @@ def _swap_permutation(key, energies, betas, offset):
     jax.jit,
     static_argnames=("n_samples", "swap_interval", "n_sweeps", "n_burnin"),
 )
-def _pt_dense_scan(key, J, h, temperatures, n_samples, swap_interval, n_sweeps, n_burnin):
+def _pt_dense_scan(key, J, h, temperatures, colors, n_samples, swap_interval,
+                   n_sweeps, n_burnin):
     R = temperatures.shape[0]
     n = J.shape[0]
     betas = 1.0 / temperatures
@@ -63,9 +70,10 @@ def _pt_dense_scan(key, J, h, temperatures, n_samples, swap_interval, n_sweeps, 
         states, n_acc, n_att = carry
         t, k = inp
         k_sweep, k_swap = jax.random.split(k)
-        states = jax.vmap(
-            lambda kk, s, T: gibbs_sweeps(kk, s, J, h, T, n_sweeps)
-        )(jax.random.split(k_sweep, R), states, temperatures)
+        # All replicas advance together: one colored block sweep with a
+        # per-replica temperature vector (replicas = the batch axis).
+        states = blocked_sweeps(k_sweep, states, J, h, temperatures, colors,
+                                n_sweeps)
         energies = boltzmann_energy_batch(states, J, h)
 
         def do_swap(args):
@@ -106,8 +114,10 @@ def parallel_tempering_dense(
     info mirrors the reference dict (tsu/gibbs.py:330-336): swap acceptance
     statistics, per-sweep replica energies, final replica states.
     """
+    colors = jnp.asarray(color_groups(np.asarray(J)))
     cold, energy_hist, finals, n_acc, n_att = _pt_dense_scan(
-        key, J, h, temperatures, n_samples, swap_interval, n_sweeps, n_burnin
+        key, J, h, temperatures, colors, n_samples, swap_interval, n_sweeps,
+        n_burnin
     )
     n_acc = int(n_acc)
     n_att = int(n_att)
