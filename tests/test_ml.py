@@ -144,3 +144,39 @@ class TestBayesianRegressor:
         reg = BayesianRegressor(2, [4], seed=0)
         res = reg.predict(np.ones((1, 2)), n_samples=10)
         assert res.mean.shape == (1, 1)
+
+
+class TestObservationNoise:
+    """Learned aleatoric noise (r1 weakness #3: the ELBO used raw MSE, so
+    predictive intervals could never calibrate when noise matters)."""
+
+    def test_sigma_n_recovers_true_noise(self):
+        rng = np.random.default_rng(4)
+        x = rng.uniform(-1, 1, (200, 1)).astype(np.float32)
+        y = (np.sin(3 * x) + 0.2 * rng.normal(size=x.shape)).astype(np.float32)
+        reg = BayesianRegressor(1, [32, 32], seed=0)
+        reg.fit(x, y, n_epochs=600, batch_size=200, learning_rate=0.01,
+                kl_weight=0.1)
+        sig_n = float(reg.observation_noise_std[0])
+        assert 0.1 < sig_n < 0.35  # true scale 0.2
+
+    def test_predictive_interval_calibrated(self):
+        rng = np.random.default_rng(5)
+        x = rng.uniform(-1, 1, (150, 1)).astype(np.float32)
+        y = (x**2 + 0.15 * rng.normal(size=x.shape)).astype(np.float32)
+        reg = BayesianRegressor(1, [32, 32], seed=0)
+        reg.fit(x, y, n_epochs=600, batch_size=150, learning_rate=0.01,
+                kl_weight=0.1)
+        x_test = np.linspace(-1, 1, 200)[:, None].astype(np.float32)
+        y_test = (x_test**2 + 0.15 * rng.normal(size=x_test.shape))
+        mean, lo, hi = reg.predict_with_interval(
+            x_test, n_samples=200, include_observation_noise=True)
+        coverage = np.mean((y_test >= lo) & (y_test <= hi))
+        assert 0.88 <= coverage <= 1.0
+
+    def test_noise_learning_optional(self):
+        net = BayesianNetwork([1, 4, 1], seed=0, learn_observation_noise=False)
+        assert net.observation_noise_std is None
+        x = np.linspace(-1, 1, 32)[:, None].astype(np.float32)
+        net.fit(x, 2 * x, n_epochs=20, batch_size=32, learning_rate=0.02)
+        assert net.log_noise is None

@@ -124,33 +124,84 @@ def kl_to_prior(params, prior_std: float):
     return total
 
 
-def elbo_loss(params, key, x, y, *, kl_weight, n_mc, temperature, activation, prior_std):
-    """MC estimate of MSE + kl_weight * KL / N (reference objective shape,
-    tsu/ml.py:321-356, with the KL gradient flowing into both mu and sigma)."""
+def elbo_loss(params, key, x, y, *, kl_weight, n_mc, temperature, activation,
+              prior_std, n_total=None):
+    """MC estimate of the negative ELBO (cf. tsu/ml.py:321-356, quirk Q5 fixed).
+
+    ``params`` is either a bare list of layer pytrees (data term = MSE, the
+    reference's objective shape — hyperparameters transfer) or a dict
+    ``{"layers": [...], "log_noise": (d_out,)}`` with a *learned* Gaussian
+    observation-noise scale, in which case the data term is the proper
+    per-datum Gaussian NLL. With ``kl_weight=1.0`` the dict form is the true
+    ELBO (mean NLL + KL / N); the reference's fixed-MSE loss implicitly
+    assumes a constant noise scale and never learns it, which is why its
+    predictive intervals cannot calibrate (r1 weakness #3).
+    """
+    if isinstance(params, dict):
+        layers, log_noise = params["layers"], params["log_noise"]
+    else:
+        layers, log_noise = params, None
 
     def one(k):
-        pred = forward_sample(params, x, k, temperature, activation)
-        return jnp.mean((pred - y) ** 2)
+        pred = forward_sample(layers, x, k, temperature, activation)
+        if log_noise is None:
+            return jnp.mean((pred - y) ** 2)
+        var = jnp.exp(2.0 * log_noise)
+        return jnp.mean(0.5 * ((pred - y) ** 2 / var + jnp.log(2.0 * jnp.pi * var)))
 
-    mse = jnp.mean(jax.vmap(one)(jax.random.split(key, n_mc)))
-    kl = kl_to_prior(params, prior_std)
-    return mse + kl_weight * kl / x.shape[0], (mse, kl)
+    data_term = jnp.mean(jax.vmap(one)(jax.random.split(key, n_mc)))
+    kl = kl_to_prior(layers, prior_std)
+    # Minibatch ELBO: per-datum data term + KL / N_dataset (normalizing by the
+    # batch size instead silently over-regularizes small batches).
+    n_total = x.shape[0] if n_total is None else n_total
+    return data_term + kl_weight * kl / n_total, (data_term, kl)
 
 
 @partial(jax.jit, static_argnames=("n_mc", "activation", "optimizer_update"))
 def _train_step(params, opt_state, key, x, y, kl_weight, temperature,
-                prior_std, *, n_mc, activation, optimizer_update):
+                prior_std, *, n_mc, activation, optimizer_update,
+                n_total=None):
     (loss, (mse, kl)), grads = jax.value_and_grad(
         lambda p: elbo_loss(
             p, key, x, y,
             kl_weight=kl_weight, n_mc=n_mc, temperature=temperature,
-            activation=activation, prior_std=prior_std,
+            activation=activation, prior_std=prior_std, n_total=n_total,
         ),
         has_aux=True,
     )(params)
     updates, opt_state = optimizer_update(grads, opt_state, params)
     params = optax.apply_updates(params, updates)
     return params, opt_state, loss, mse, kl
+
+
+@partial(jax.jit, static_argnames=("n_steps", "n_mc", "activation", "optimizer_update"))
+def _train_scan(params, opt_state, key, x, y, kl_weight, temperature,
+                prior_std, *, n_steps, n_mc, activation, optimizer_update):
+    """n_steps full-batch ELBO steps as one lax.scan (one device dispatch).
+
+    Returns (params, opt_state, losses, kls) with per-step histories. Used by
+    fit() whenever the batch is the whole dataset — the per-step Python
+    dispatch otherwise dominates small-model training time.
+    """
+
+    def body(carry, k):
+        params, opt_state = carry
+        (loss, (mse, kl)), grads = jax.value_and_grad(
+            lambda p: elbo_loss(
+                p, k, x, y,
+                kl_weight=kl_weight, n_mc=n_mc, temperature=temperature,
+                activation=activation, prior_std=prior_std,
+            ),
+            has_aux=True,
+        )(params)
+        updates, opt_state = optimizer_update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), (loss, kl)
+
+    (params, opt_state), (losses, kls) = jax.lax.scan(
+        body, (params, opt_state), jax.random.split(key, n_steps)
+    )
+    return params, opt_state, losses, kls
 
 
 @partial(jax.jit, static_argnames=("n_samples", "activation"))
@@ -219,6 +270,7 @@ class BayesianNetwork:
         prior_std: float = 1.0,
         temperature: float = 1.0,
         seed: Optional[int] = None,
+        learn_observation_noise: bool = True,
     ):
         if len(layer_sizes) < 2:
             raise ConfigurationError("need at least input and output sizes")
@@ -235,8 +287,20 @@ class BayesianNetwork:
             _init_layer(k, layer_sizes[i], layer_sizes[i + 1])
             for i, k in enumerate(keys)
         ]
+        # Learned homoscedastic observation-noise scale per output dim
+        # (sigma_n = exp(log_noise)); trained jointly with the posterior by
+        # fit() when learn_observation_noise is on.
+        self.log_noise = (
+            jnp.full((layer_sizes[-1],), float(np.log(0.3)))
+            if learn_observation_noise else None
+        )
         self.loss_history: List[float] = []
         self.kl_history: List[float] = []
+
+    @property
+    def observation_noise_std(self) -> Optional[np.ndarray]:
+        """Learned aleatoric noise scale sigma_n, or None if not learned."""
+        return None if self.log_noise is None else np.asarray(jnp.exp(self.log_noise))
 
     def _next_key(self):
         self._key, sub = jax.random.split(self._key)
@@ -284,11 +348,24 @@ class BayesianNetwork:
         x = jnp.atleast_2d(jnp.asarray(x, dtype=jnp.float32))
         y = jnp.asarray(y, dtype=jnp.float32).reshape(x.shape[0], -1)
         total, (mse, kl) = elbo_loss(
-            self.params, self._next_key(), x, y,
+            self._trainable(), self._next_key(), x, y,
             kl_weight=kl_weight, n_mc=n_mc, temperature=self.temperature,
             activation=self.activation, prior_std=self.prior_std,
         )
         return float(total), float(mse), float(kl)
+
+    def _trainable(self):
+        """The pytree fit() optimizes: layers (+ log_noise when learned)."""
+        if self.log_noise is None:
+            return self.params
+        return {"layers": self.params, "log_noise": self.log_noise}
+
+    def _set_trainable(self, trainable):
+        if self.log_noise is None:
+            self.params = trainable
+        else:
+            self.params = trainable["layers"]
+            self.log_noise = trainable["log_noise"]
 
     def fit(
         self,
@@ -318,8 +395,26 @@ class BayesianNetwork:
         n = x.shape[0]
         batch_size = min(batch_size, n)
 
+        trainable = self._trainable()
         optimizer = optax.adam(learning_rate)
-        opt_state = optimizer.init(self.params)
+        opt_state = optimizer.init(trainable)
+
+        if batch_size >= n and mesh is None:
+            # Full-batch: all epochs run as one scanned XLA computation.
+            trainable, opt_state, losses, kls = _train_scan(
+                trainable, opt_state, self._next_key(),
+                jnp.asarray(x), jnp.asarray(y),
+                kl_weight, self.temperature, self.prior_std,
+                n_steps=n_epochs, n_mc=n_samples_per_batch,
+                activation=self.activation, optimizer_update=optimizer.update,
+            )
+            self.loss_history.extend(np.asarray(losses).tolist())
+            self.kl_history.extend(np.asarray(kls).tolist())
+            self._set_trainable(trainable)
+            if verbose:
+                print(f"final loss={self.loss_history[-1]:.4f}")
+            return {"loss_history": self.loss_history, "kl_history": self.kl_history}
+
         rng = np.random.default_rng(int(jax.random.randint(self._next_key(), (), 0, 2**31 - 1)))
 
         batch_sharding = None
@@ -337,13 +432,14 @@ class BayesianNetwork:
                 if batch_sharding is not None and len(idx) == batch_size:
                     xb = jax.device_put(xb, batch_sharding)
                     yb = jax.device_put(yb, batch_sharding)
-                self.params, opt_state, loss, mse, kl = _train_step(
-                    self.params, opt_state, self._next_key(),
+                trainable, opt_state, loss, mse, kl = _train_step(
+                    trainable, opt_state, self._next_key(),
                     xb, yb,
                     kl_weight, self.temperature, self.prior_std,
                     n_mc=n_samples_per_batch,
                     activation=self.activation,
                     optimizer_update=optimizer.update,
+                    n_total=float(n),
                 )
                 epoch_loss += float(loss)
                 epoch_kl += float(kl)
@@ -353,6 +449,7 @@ class BayesianNetwork:
             if verbose and (epoch % max(1, n_epochs // 10) == 0):
                 print(f"epoch {epoch:4d}  loss={self.loss_history[-1]:.4f}")
 
+        self._set_trainable(trainable)
         return {"loss_history": self.loss_history, "kl_history": self.kl_history}
 
     def sample_posterior(self, n_samples: int = 10) -> List[PosteriorSample]:
@@ -393,11 +490,25 @@ class BayesianRegressor(BayesianNetwork):
         )
 
     def predict_with_interval(
-        self, x: np.ndarray, n_samples: int = 100, confidence: float = 0.95
+        self, x: np.ndarray, n_samples: int = 100, confidence: float = 0.95,
+        include_observation_noise: bool = False,
     ):
-        """(mean, lower, upper) percentile interval (cf. tsu/ml.py:572-604)."""
+        """(mean, lower, upper) interval (cf. tsu/ml.py:572-604).
+
+        By default the interval is the *epistemic* credible interval for the
+        mean function (MC percentiles over weight draws). With
+        ``include_observation_noise=True`` the learned aleatoric scale
+        sigma_n widens it into a predictive interval for new observations.
+        """
         result = self.predict(x, n_samples=n_samples)
         alpha = (1.0 - confidence) / 2.0
+        if include_observation_noise and self.log_noise is not None:
+            from scipy import stats
+
+            sig_n = self.observation_noise_std
+            total = np.sqrt(result.std**2 + sig_n**2)
+            z = stats.norm.ppf(1.0 - alpha)
+            return result.mean, result.mean - z * total, result.mean + z * total
         lower = np.percentile(result.samples, 100 * alpha, axis=0)
         upper = np.percentile(result.samples, 100 * (1 - alpha), axis=0)
         return result.mean, lower, upper
