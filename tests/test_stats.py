@@ -7,7 +7,10 @@ from tsu_tpu.ops.stats import (
     autocorrelation,
     effective_sample_size,
     ess_multichain,
+    kl_divergence_calibrated,
+    kl_divergence_corrected,
     kl_divergence_discrete,
+    moment_zscores,
 )
 
 
@@ -66,3 +69,38 @@ class TestKL:
 
     def test_positive(self):
         assert kl_divergence_discrete([0.9, 0.1], [0.5, 0.5]) > 0
+
+
+class TestBiasCorrectedMetrics:
+    """r1 weakness #2: at 400 samples over 2^10 states the plug-in KL floor
+    (~0.8 nats) could not distinguish an exact sampler from a broken one.
+    The calibrated estimator and moment z-scores must be decisive."""
+
+    def _setup(self, seed=0, n=400, k=1024):
+        rng = np.random.default_rng(seed)
+        logits = rng.normal(0, 2.0, k)
+        q = np.exp(logits - logits.max())
+        q /= q.sum()
+        return rng, q
+
+    def test_exact_sampler_scores_near_zero(self):
+        rng, q = self._setup()
+        counts = np.bincount(rng.choice(len(q), 400, p=q), minlength=len(q))
+        plugin = kl_divergence_discrete(counts / 400, q)
+        assert plugin > 0.2  # the bias floor the plug-in estimator suffers
+        assert kl_divergence_calibrated(counts, q, seed=1) < 0.05
+        assert kl_divergence_corrected(counts, q) < plugin
+
+    def test_wrong_sampler_scores_high(self):
+        rng, q = self._setup()
+        # Sample from a *different* distribution (uniform).
+        counts = np.bincount(rng.integers(0, len(q), 400), minlength=len(q))
+        assert kl_divergence_calibrated(counts, q, seed=1) > 0.5
+
+    def test_moment_zscores_discriminate(self):
+        rng = np.random.default_rng(3)
+        exact_mean = np.full(10, 0.5)
+        good = (rng.random((2000, 10)) < 0.5).astype(float)
+        bad = (rng.random((2000, 10)) < 0.65).astype(float)
+        assert moment_zscores(good, exact_mean, 2000)["max_abs_z"] < 4.0
+        assert moment_zscores(bad, exact_mean, 2000)["max_abs_z"] > 6.0

@@ -16,7 +16,12 @@ from typing import Dict, List, Optional
 import numpy as np
 
 from tsu_tpu.config import GibbsConfig
-from tsu_tpu.ops.stats import ess_multichain, kl_divergence_discrete
+from tsu_tpu.ops.stats import (
+    ess_multichain,
+    kl_divergence_calibrated,
+    kl_divergence_discrete,
+    moment_zscores,
+)
 from tsu_tpu.oracle import exact_boltzmann_moments
 from tsu_tpu.samplers.gibbs import GibbsSampler
 
@@ -106,15 +111,20 @@ class SamplingBenchmark:
         elapsed = min(times)
         median_elapsed = sorted(times)[len(times) // 2]
 
-        kl = kl_divergence_discrete(
-            _state_histogram(samples), _exact_distribution(J, h, temperature)
-        )
+        q_exact = _exact_distribution(J, h, temperature)
+        counts = _state_histogram(samples) * samples.shape[0]
+        kl = kl_divergence_calibrated(counts, q_exact, seed=self.seed)
+        kl_plugin = kl_divergence_discrete(counts / samples.shape[0], q_exact)
         n_full = (n_samples // self.n_chains) * self.n_chains
         if n_full >= self.n_chains:
             chains = samples[:n_full].reshape(-1, self.n_chains, n).transpose(1, 0, 2)
         else:
             chains = samples[None]
         ess = ess_multichain(chains)
+        # Decisive acceptance metric: site-mean errors vs enumeration in MC
+        # standard-error units (no small-sample bias floor, unlike KL).
+        zs = moment_zscores(samples, exact_boltzmann_moments(J, h, temperature)["mean"],
+                            ess)
         result = SamplingResult(
             name=name,
             n_samples=n_samples,
@@ -125,6 +135,9 @@ class SamplingBenchmark:
             samples_per_second=n_samples / elapsed,
             bit_flips_per_second=n_samples * n_sweeps * n / elapsed,
             extra={
+                "kl_plugin": round(kl_plugin, 6),
+                "max_abs_z": round(zs["max_abs_z"], 2),
+                "mean_abs_z": round(zs["mean_abs_z"], 2),
                 "warmup_time_s": round(warmup, 4),
                 "median_time_s": round(median_elapsed, 4),
                 "median_samples_per_s": round(n_samples / median_elapsed, 1),

@@ -76,6 +76,74 @@ def kl_divergence_discrete(p: np.ndarray, q: np.ndarray, eps: float = 1e-12) -> 
     return float(np.sum(p * np.log(p / q)))
 
 
+def kl_divergence_corrected(counts: np.ndarray, q: np.ndarray,
+                            eps: float = 1e-12) -> float:
+    """Miller-Madow bias-corrected KL(p_hat || q) from raw counts.
+
+    The plug-in estimator underestimates the entropy of p by about
+    (K_hat - 1) / (2 N) nats (K_hat = observed support size), which inflates
+    KL by the same amount — at 400 samples over 2^10 states the inflation is
+    ~0.8 nats, drowning the signal (r1 weakness #2: exact samplers scored
+    0.79). The cross-entropy term is unbiased, so subtracting the entropy
+    correction debiases the KL. Clipped at zero.
+    """
+    counts = np.asarray(counts, dtype=np.float64)
+    n = counts.sum()
+    k_hat = np.count_nonzero(counts)
+    kl = kl_divergence_discrete(counts / n, q, eps)
+    return float(max(0.0, kl - (k_hat - 1) / (2.0 * n)))
+
+
+def kl_divergence_calibrated(counts: np.ndarray, q: np.ndarray,
+                             n_boot: int = 20, seed: int = 0,
+                             eps: float = 1e-12) -> float:
+    """Bootstrap-calibrated KL(p_hat || q): plug-in KL minus the expected
+    plug-in KL of *exact* same-size draws from q.
+
+    The parametric bootstrap removes the finite-sample bias to all orders in
+    expectation (Miller-Madow only removes the first-order (K-1)/2N term,
+    which at 400 samples over 2^10 states still leaves ~0.3 nats). An exact
+    sampler scores ~0 by construction; any excess is genuine distribution
+    mismatch. Clipped at zero.
+    """
+    counts = np.asarray(counts, dtype=np.float64)
+    n = int(counts.sum())
+    q = np.asarray(q, dtype=np.float64)
+    q = q / q.sum()
+    kl = kl_divergence_discrete(counts / n, q, eps)
+    rng = np.random.default_rng(seed)
+    boot = [
+        kl_divergence_discrete(
+            np.bincount(rng.choice(len(q), size=n, p=q), minlength=len(q)) / n,
+            q, eps,
+        )
+        for _ in range(n_boot)
+    ]
+    return float(max(0.0, kl - np.mean(boot)))
+
+
+def moment_zscores(samples: np.ndarray, exact_mean: np.ndarray,
+                   ess: float) -> dict:
+    """Site-wise mean errors vs an exact oracle, in MC standard-error units.
+
+    z_i = (m_hat_i - m_i) / sqrt(var_i / ESS). A correct sampler gives
+    |z| ~ O(1); max|z| > ~4 is a decisive failure regardless of sample
+    count — unlike plug-in KL this acceptance check has no small-sample
+    bias floor.
+    """
+    samples = np.asarray(samples, dtype=np.float64)
+    flat = samples.reshape(-1, samples.shape[-1])
+    m_hat = flat.mean(axis=0)
+    var = flat.var(axis=0)
+    ess_per_site = max(float(ess), 1.0)
+    se = np.sqrt(np.maximum(var, 1e-12) / ess_per_site)
+    z = (m_hat - np.asarray(exact_mean, dtype=np.float64)) / se
+    return {
+        "max_abs_z": float(np.max(np.abs(z))),
+        "mean_abs_z": float(np.mean(np.abs(z))),
+    }
+
+
 @jax.jit
 def running_moments(x: jax.Array):
     """On-device mean/std over the leading axis (batched moment reduction)."""
