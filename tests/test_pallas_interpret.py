@@ -1,0 +1,149 @@
+"""Pallas kernel semantics on the CPU mesh via TPU-interpret mode.
+
+r1 weakness #4: every kernel test skipped off-TPU, so a semantic regression
+in the flagship kernels would land green. These tests run the *actual kernel
+code* under ``pltpu.force_tpu_interpret_mode()`` with caller-injected
+uniforms (the hardware PRNG has no interpret-mode implementation) and demand
+EXACT equality against independent full-lattice oracles built on the XLA
+helpers — covering neighbor gather, row parity, halo splicing, open-boundary
+masking, threshold tables, and multi-block/band wiring.
+
+The multi-band fused case is also the regression test for boundary-row
+consistency: the black update at a band boundary must condition on exactly
+the red row stored by the neighboring band (same uniforms), not a re-drawn
+phantom copy.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from tsu_tpu.ops.checkerboard import (
+    neighbor_sum_half_halo,
+    split_checkerboard,
+    wrap_halos,
+)
+
+_U24_SCALE = 1.0 / 16777216.0
+
+
+def _random_planes(key, R, C):
+    lat = jnp.where(jax.random.bernoulli(key, 0.5, (R, C)), 1.0, -1.0)
+    return split_checkerboard(lat)
+
+
+def _oracle_halfstep_u24(other, update_red, u24, periodic, T, J, field):
+    """Exact-sigmoid heat-bath halfstep thresholded on injected u24 uniforms
+    (mirrors _halfsweep_kernel's arithmetic bit-for-bit)."""
+    up, down = wrap_halos(other, periodic)
+    nbr = neighbor_sum_half_halo(other, up, down, update_red, periodic)
+    p = jax.nn.sigmoid(2.0 * (J * nbr + field) / T)
+    u = u24.astype(jnp.float32) * _U24_SCALE
+    return jnp.where(u < p, 1.0, -1.0)
+
+
+def _oracle_halfstep_table(other, update_red, u16, periodic, table):
+    """Quantized-table heat-bath halfstep (mirrors the fused kernel)."""
+    up, down = wrap_halos(other, periodic)
+    nbr = neighbor_sum_half_halo(other, up, down, update_red, periodic)
+    thresh = table[nbr.astype(jnp.int32) + 4]
+    return jnp.where(u16 < thresh, 1.0, -1.0)
+
+
+@pytest.mark.parametrize("periodic", [True, False])
+@pytest.mark.parametrize("block_rows", [None, 8])
+def test_halfsweep_kernel_exact(periodic, block_rows):
+    from tsu_tpu.ops.checkerboard_pallas import checkerboard_sweeps_planes_pallas
+
+    R = C = 32
+    red, black = _random_planes(jax.random.key(0), R, C)
+    n_sweeps, T, J, field = 3, 2.269, 1.0, 0.1
+    U = jax.random.randint(jax.random.key(1), (n_sweeps, 2, R, C // 2),
+                           0, 1 << 24, jnp.int32)
+
+    r_o, b_o = red, black
+    for s in range(n_sweeps):
+        r_o = _oracle_halfstep_u24(b_o, True, U[s, 0], periodic, T, J, field)
+        b_o = _oracle_halfstep_u24(r_o, False, U[s, 1], periodic, T, J, field)
+
+    with pltpu.force_tpu_interpret_mode():
+        r_k, b_k = checkerboard_sweeps_planes_pallas(
+            jnp.int32(0), red, black, T, n_sweeps, J=J, field=field,
+            periodic=periodic, uniforms=U, block_rows=block_rows,
+        )
+    assert jnp.array_equal(r_o, r_k)
+    assert jnp.array_equal(b_o, b_k)
+
+
+@pytest.mark.parametrize("periodic", [True, False])
+@pytest.mark.parametrize("band_rows", [None, 8])
+def test_fused_kernel_exact(periodic, band_rows):
+    """band_rows=8 runs 4 bands on a 32-row lattice: black rows at every
+    band boundary must match the oracle (which conditions on the one global
+    red plane) exactly — catches any phantom-redraw inconsistency."""
+    from tsu_tpu.ops.checkerboard_fused import fused_sweeps, sigmoid_table16
+
+    R = C = 32
+    red, black = _random_planes(jax.random.key(2), R, C)
+    n_sweeps, T, J, field = 3, 2.269, 1.0, 0.1
+    U = jax.random.randint(jax.random.key(3), (n_sweeps, 2, R, C // 2),
+                           0, 1 << 16, jnp.int32)
+    table = sigmoid_table16(J, field, T)
+
+    r_o, b_o = red, black
+    for s in range(n_sweeps):
+        r_o = _oracle_halfstep_table(b_o, True, U[s, 0], periodic, table)
+        b_o = _oracle_halfstep_table(r_o, False, U[s, 1], periodic, table)
+
+    with pltpu.force_tpu_interpret_mode():
+        r_k, b_k = fused_sweeps(
+            jnp.int32(0), red, black, T, n_sweeps, J=J, field=field,
+            periodic=periodic, uniforms=U, band_rows=band_rows,
+        )
+    assert jnp.array_equal(r_o, r_k)
+    assert jnp.array_equal(b_o, b_k)
+
+
+def test_fused_kernel_bf16_exact():
+    """bf16 spin storage must not change the sampled configuration."""
+    from tsu_tpu.ops.checkerboard_fused import fused_sweeps, sigmoid_table16
+
+    R = C = 16
+    red, black = _random_planes(jax.random.key(4), R, C)
+    T = 2.5
+    U = jax.random.randint(jax.random.key(5), (2, 2, R, C // 2),
+                           0, 1 << 16, jnp.int32)
+    table = sigmoid_table16(1.0, 0.0, T)
+
+    r_o, b_o = red, black
+    for s in range(2):
+        r_o = _oracle_halfstep_table(b_o, True, U[s, 0], True, table)
+        b_o = _oracle_halfstep_table(r_o, False, U[s, 1], True, table)
+
+    with pltpu.force_tpu_interpret_mode():
+        r_k, b_k = fused_sweeps(
+            jnp.int32(0), red.astype(jnp.bfloat16), black.astype(jnp.bfloat16),
+            T, 2, J=1.0, field=0.0, periodic=True, uniforms=U, band_rows=8,
+        )
+    assert jnp.array_equal(r_o, r_k.astype(jnp.float32))
+    assert jnp.array_equal(b_o, b_k.astype(jnp.float32))
+
+
+def test_biased_field_pushes_up():
+    """Directional sanity through the real kernel: a strong +field with
+    mid-scale uniforms must produce all-up spins (table orientation)."""
+    from tsu_tpu.ops.checkerboard_fused import fused_sweeps
+
+    R = C = 16
+    red, black = _random_planes(jax.random.key(6), R, C)
+    # u = 2^15 == p threshold 0.5: any p_up > 0.5 + eps flips the site up.
+    U = jnp.full((1, 2, R, C // 2), 1 << 15, jnp.int32)
+    with pltpu.force_tpu_interpret_mode():
+        r_k, b_k = fused_sweeps(
+            jnp.int32(0), red, black, 1.0, 1, J=0.0, field=5.0,
+            periodic=True, uniforms=U,
+        )
+    assert float(jnp.mean(r_k)) == 1.0
+    assert float(jnp.mean(b_k)) == 1.0

@@ -354,6 +354,26 @@ def optimize(
         def energy(x):
             return obj(x)  # must be traceable for the fallback path
 
+        # Probe traceability up front: a NumPy-only objective would otherwise
+        # surface as an opaque tracer error from inside the jitted engine.
+        try:
+            out = jax.eval_shape(energy, jax.ShapeDtypeStruct((dim,), jnp.float32))
+            if out.shape != ():
+                raise ConfigurationError(
+                    "objective must return a scalar; got shape "
+                    f"{out.shape} (problem {type(problem).__name__})"
+                )
+        except ConfigurationError:
+            raise
+        except Exception as e:
+            raise ConfigurationError(
+                f"{type(problem).__name__}.objective is not JAX-traceable, so "
+                "the annealed-Langevin fallback cannot differentiate it. "
+                "Either implement to_ising() -> (J, h) for the discrete "
+                "annealer, or write the objective with jax.numpy ops. "
+                f"Underlying error: {e}"
+            ) from e
+
         schedule = np.geomspace(initial_temp, final_temp, 10)
         x = 0.1 * jax.random.normal(jax.random.fold_in(key, 0), (n_chains, dim))
         for i, T in enumerate(schedule):
@@ -381,8 +401,14 @@ class ProbabilisticLayer(ABC):
     """Abstract stochastic layer (cf. tsu/api.py:331-337)."""
 
     @abstractmethod
-    def forward(self, x: np.ndarray) -> np.ndarray:
-        """Stochastic forward pass."""
+    def forward(self, x: np.ndarray, n_samples: Optional[int] = None) -> np.ndarray:
+        """Stochastic forward pass.
+
+        ``n_samples=None`` (default) returns one draw with the input's
+        shape; an integer returns ``(n_samples, ...)`` stacked independent
+        draws — the reference's convention (tsu/api.py:335, whose default
+        ``n_samples=1`` returns a stacked singleton; index [0] as there).
+        """
 
 
 class StochasticLinear(ProbabilisticLayer):
@@ -399,12 +425,14 @@ class StochasticLinear(ProbabilisticLayer):
         self.weights = np.asarray(scale * jax.random.normal(k, (in_features, out_features)))
         self.bias = np.zeros(out_features, dtype=np.float32)
 
-    def forward(self, x: np.ndarray) -> np.ndarray:
+    def forward(self, x: np.ndarray, n_samples: Optional[int] = None) -> np.ndarray:
         self._key, k = jax.random.split(self._key)
+        shape = ((n_samples,) if n_samples else ()) + self.weights.shape
         w = self.weights + self.weight_noise * np.asarray(
-            jax.random.normal(k, self.weights.shape)
+            jax.random.normal(k, shape)
         )
-        return np.atleast_2d(np.asarray(x)) @ w + self.bias
+        out = np.atleast_2d(np.asarray(x)) @ w + self.bias
+        return out  # (n_samples, batch, out) when n_samples is given
 
 
 class BernoulliActivation(ProbabilisticLayer):
@@ -415,10 +443,11 @@ class BernoulliActivation(ProbabilisticLayer):
     def __init__(self, seed: Optional[int] = None):
         self._key = as_key(seed)
 
-    def forward(self, x: np.ndarray) -> np.ndarray:
+    def forward(self, x: np.ndarray, n_samples: Optional[int] = None) -> np.ndarray:
         self._key, k = jax.random.split(self._key)
         p = jax.nn.sigmoid(jnp.asarray(x))
-        return np.asarray(jax.random.bernoulli(k, p).astype(jnp.float32))
+        shape = ((n_samples,) + p.shape) if n_samples else p.shape
+        return np.asarray(jax.random.bernoulli(k, p, shape).astype(jnp.float32))
 
 
 class ProbabilisticModel:
@@ -439,7 +468,11 @@ class ProbabilisticModel:
             h = layer.forward(h)
         return h
 
+    def sample(self, x: np.ndarray, n_samples: int = 100) -> np.ndarray:
+        """(n_samples, ...) independent stochastic outputs for one input
+        (cf. tsu/api.py:403-414 — drop-in for ``model.sample(x, n)``)."""
+        return np.stack([self.forward(x) for _ in range(n_samples)])
+
     def predict_proba(self, x: np.ndarray, n_samples: int = 100) -> np.ndarray:
         """Mean over stochastic forward passes."""
-        outs = [self.forward(x) for _ in range(n_samples)]
-        return np.mean(outs, axis=0)
+        return np.mean(self.sample(x, n_samples), axis=0)

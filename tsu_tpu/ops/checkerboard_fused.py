@@ -139,14 +139,13 @@ def _fused_sweep_kernel(
     black_ref,       # VMEM (BR, C2) black center band
     up_ref,          # VMEM (8, C2): rows 0,1 = black rows i*BR-2, i*BR-1
     down_ref,        # VMEM (8, C2): rows 0,1 = black rows (i+1)*BR, +1
-    red_out_ref,     # VMEM (BR, C2)
-    black_out_ref,   # VMEM (BR, C2)
-    *,
+    *rest,           # [injected uniforms: u_red center/top/bottom, u_black,]
+                     # red_out_ref, black_out_ref — both VMEM (BR, C2)
     periodic: bool,
+    injected: bool = False,
 ):
     i = pl.program_id(0)
     nb = pl.num_programs(0)
-    pltpu.prng_seed(seed_ref[0] + i)
 
     # Compute in f32: Mosaic's lane rotate (pltpu.roll in _horiz) requires
     # 32-bit data, so spins are widened once on load and narrowed on store.
@@ -156,9 +155,39 @@ def _fused_sweep_kernel(
     up2 = up_ref[0:2, :].astype(dtype)
     down2 = down_ref[0:2, :].astype(dtype)
 
-    # One 32-bit PRNG draw per site-column feeds BOTH color updates.
-    u_red, u_hi = _u16_pair((BR + 2, C2))
-    u_black = u_hi[1 : BR + 1, :]
+    if injected:
+        # Caller-supplied 16-bit uniforms keyed by GLOBAL row: center band +
+        # one-row tiles for the red extension rows (deterministic mode for
+        # interpret-mode CI equality tests against a full-lattice oracle).
+        ur_ref, ur_top_ref, ur_bot_ref, ub_ref, red_out_ref, black_out_ref = rest
+        u_red = jnp.concatenate(
+            [ur_top_ref[0:1, :], ur_ref[:], ur_bot_ref[0:1, :]], axis=0
+        )
+        u_black = ub_ref[:]
+    else:
+        red_out_ref, black_out_ref = rest
+        # Row-group-keyed PRNG: the uniforms for global rows [8g, 8g+8) come
+        # from the stream seeded (seed, g), regardless of which band draws
+        # them. The red extension rows (global i*BR-1 and (i+1)*BR) are
+        # thereby recomputed bit-identically to the center rows stored by
+        # the neighboring bands, so the black update at band boundaries
+        # conditions on exactly the stored red plane. (Per-band seeding
+        # would *re-draw* those rows with fresh uniforms — a subtle
+        # detailed-balance violation at two rows per band boundary.)
+        # One 32-bit draw per site feeds BOTH color updates (lo16 -> red,
+        # hi16 -> black).
+        gpb = BR // 8  # row groups per band (BR divisible by 8)
+        draws = []
+        for j in range(gpb + 2):
+            g = (i * gpb - 1 + j) % (nb * gpb)
+            pltpu.prng_seed(seed_ref[0], g)
+            draws.append(pltpu.prng_random_bits((8, C2)))
+        # Row 0 of buf = global row i*BR - 8.
+        buf = pltpu.bitcast(jnp.concatenate(draws, axis=0), jnp.uint32)
+        lo = pltpu.bitcast(buf & jnp.uint32(0xFFFF), jnp.int32)
+        hi = pltpu.bitcast(buf >> 16, jnp.int32)
+        u_red = lo[7 : BR + 9, :]     # global rows i*BR-1 .. (i+1)*BR
+        u_black = hi[8 : BR + 8, :]   # global rows i*BR .. (i+1)*BR-1
 
     # black extended: rows = global [i*BR-2, (i+1)*BR+1], shape (BR+4, C2).
     black_ext = jnp.concatenate([up2, black, down2], axis=0)
@@ -212,7 +241,8 @@ def _pick_band(R: int, C2: int, itemsize: int) -> int:
     raise ValueError(f"R={R} must be divisible by 8 for the fused kernel")
 
 
-@partial(jax.jit, static_argnames=("J", "field", "periodic"))
+@partial(jax.jit, static_argnames=("J", "field", "periodic", "band_rows",
+                                   "interpret"))
 def fused_sweep_pallas(
     seed: jax.Array,
     red: jax.Array,
@@ -222,15 +252,21 @@ def fused_sweep_pallas(
     J: float = 1.0,
     field: float = 0.0,
     periodic: bool = True,
+    uniforms: jax.Array | None = None,
+    band_rows: int | None = None,
+    interpret: bool = False,
 ):
     """One full checkerboard sweep (red then black) in a single pallas_call.
 
     ``red`` is accepted for API symmetry but not read (heat-bath red update
     depends only on black). Returns (new_red, new_black) in the input dtype
-    (float32 or bfloat16).
+    (float32 or bfloat16). ``uniforms``: optional (2, R, C2) int32 in
+    [0, 2^16) replacing the hardware PRNG ([0] -> red update, [1] -> black);
+    ``band_rows`` overrides the row-band height (CI tests use small bands to
+    exercise multi-band boundary consistency on small lattices).
     """
     R, C2 = black.shape
-    BR = _pick_band(R, C2, black.dtype.itemsize)
+    BR = band_rows or _pick_band(R, C2, black.dtype.itemsize)
     nblocks = R // BR
 
     # Black halo tiles per band: rows (i*BR-2, i*BR-1) and ((i+1)*BR, +1),
@@ -264,21 +300,52 @@ def fused_sweep_pallas(
         nblocks * 8, C2
     )
 
-    grid_spec = pl.GridSpec(
-        grid=(nblocks,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((BR, C2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, C2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, C2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    inputs = [
+        jnp.asarray(seed, dtype=jnp.int32).reshape(1),
+        sigmoid_table16(J, field, temperature),
+        black,
+        ups,
+        downs,
+    ]
+    if uniforms is not None:
+        uniforms = jnp.asarray(uniforms, jnp.int32)
+        u_red_full, u_black = uniforms[0], uniforms[1]
+        # Red-extension uniforms as one-row 8-tiles: global rows i*BR-1 and
+        # (i+1)*BR of u_red (wrapped; irrelevant rows are masked for open
+        # boundaries by the kernel's extension-row zeroing).
+        tops = jnp.stack([u_red_full[(i * BR - 1) % R] for i in range(nblocks)])
+        bots = jnp.stack([u_red_full[((i + 1) * BR) % R] for i in range(nblocks)])
+        zpad = jnp.zeros((nblocks, 7, C2), jnp.int32)
+        tops = jnp.concatenate([tops[:, None, :], zpad], axis=1).reshape(
+            nblocks * 8, C2
+        )
+        bots = jnp.concatenate([bots[:, None, :], zpad], axis=1).reshape(
+            nblocks * 8, C2
+        )
+        in_specs += [
             pl.BlockSpec((BR, C2), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, C2), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, C2), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
+            pl.BlockSpec((BR, C2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ]
+        inputs += [u_red_full, tops, bots, u_black]
+    grid_spec = pl.GridSpec(
+        grid=(nblocks,),
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((BR, C2), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((BR, C2), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ),
     )
-    kernel = partial(_fused_sweep_kernel, periodic=periodic)
+    kernel = partial(_fused_sweep_kernel, periodic=periodic,
+                     injected=uniforms is not None)
     new_red, new_black = pl.pallas_call(
         kernel,
         out_shape=(
@@ -286,22 +353,18 @@ def fused_sweep_pallas(
             jax.ShapeDtypeStruct((R, C2), black.dtype),
         ),
         grid_spec=grid_spec,
+        interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=30 * R * C2,
             bytes_accessed=3 * R * C2 * black.dtype.itemsize,
             transcendentals=0,
         ),
-    )(
-        jnp.asarray(seed, dtype=jnp.int32).reshape(1),
-        sigmoid_table16(J, field, temperature),
-        black,
-        ups,
-        downs,
-    )
+    )(*inputs)
     return new_red, new_black
 
 
-@partial(jax.jit, static_argnames=("n_sweeps", "J", "field", "periodic"))
+@partial(jax.jit, static_argnames=("n_sweeps", "J", "field", "periodic",
+                                   "band_rows", "interpret"))
 def fused_sweeps(
     seed: jax.Array,
     red: jax.Array,
@@ -312,19 +375,28 @@ def fused_sweeps(
     J: float = 1.0,
     field: float = 0.0,
     periodic: bool = True,
+    uniforms: jax.Array | None = None,
+    band_rows: int | None = None,
+    interpret: bool = False,
 ):
-    """n_sweeps full sweeps with the fused kernel."""
-    seed = jnp.asarray(seed, dtype=jnp.int32)
-    R, C2 = black.shape
-    nblocks = R // _pick_band(R, C2, black.dtype.itemsize)
+    """n_sweeps full sweeps with the fused kernel.
 
-    def body(carry, k):
+    ``uniforms``: optional (n_sweeps, 2, R, C2) int32 in [0, 2^16)
+    (deterministic mode; see :func:`fused_sweep_pallas`).
+    """
+    seed = jnp.asarray(seed, dtype=jnp.int32)
+
+    def body(carry, inp):
         red, black = carry
+        k, u = inp
         red, black = fused_sweep_pallas(
-            seed + k * nblocks, red, black, temperature,
-            J=J, field=field, periodic=periodic,
+            seed + k, red, black, temperature,
+            J=J, field=field, periodic=periodic, uniforms=u,
+            band_rows=band_rows, interpret=interpret,
         )
         return (red, black), None
 
-    (red, black), _ = jax.lax.scan(body, (red, black), jnp.arange(n_sweeps))
+    xs = (jnp.arange(n_sweeps),
+          None if uniforms is None else jnp.asarray(uniforms, jnp.int32))
+    (red, black), _ = jax.lax.scan(body, (red, black), xs)
     return red, black

@@ -56,17 +56,25 @@ def _halfsweep_kernel(
     other_ref,       # VMEM (BR, C2) opposite-color center block
     up_ref,          # VMEM (8, C2) halo tile; row 0 = row above the block
     down_ref,        # VMEM (8, C2) halo tile; row 0 = row below the block
-    out_ref,         # VMEM (BR, C2) updated color plane block
-    *,
+    *rest,           # [u24_ref (BR, C2) int32 if injected,] out_ref (BR, C2)
     update_red: bool,
     J: float,
     field: float,
     periodic: bool,
+    injected: bool = False,
 ):
-    i = pl.program_id(0)
-    # Distinct stream per (seed, block); the caller folds sweep and color
-    # indices into the seed so no two half-sweeps share a stream.
-    pltpu.prng_seed(seed_ref[0] + i)
+    if injected:
+        # Caller-supplied uniforms in [0, 2^24): the kernel becomes a
+        # deterministic function, enabling exact-equality tests against an
+        # independent oracle in interpret mode on CPU CI (the hardware PRNG
+        # below has no interpret-mode implementation).
+        u24_ref, out_ref = rest
+    else:
+        (out_ref,) = rest
+        i = pl.program_id(0)
+        # Distinct stream per (seed, block); the caller folds sweep and color
+        # indices into the seed so no two half-sweeps share a stream.
+        pltpu.prng_seed(seed_ref[0] + i)
 
     other = other_ref[:]
     BR, C2 = other.shape
@@ -104,19 +112,23 @@ def _halfsweep_kernel(
     local = J * nbr + field
     p_up = jax.nn.sigmoid(2.0 * local / t_ref[0])
 
-    # bitcast to uint32 first: prng_random_bits yields int32 and an
-    # arithmetic shift would smear the sign bit into negative "uniforms".
-    # Mosaic can't cast uint32->f32, so bitcast the (non-negative) shifted
-    # value back to int32 before the float conversion.
-    bits = pltpu.bitcast(pltpu.prng_random_bits((BR, C2)), jnp.uint32)
-    u24 = pltpu.bitcast(bits >> 8, jnp.int32)  # top 24 bits, in [0, 2^24)
+    if injected:
+        u24 = u24_ref[:]
+    else:
+        # bitcast to uint32 first: prng_random_bits yields int32 and an
+        # arithmetic shift would smear the sign bit into negative "uniforms".
+        # Mosaic can't cast uint32->f32, so bitcast the (non-negative) shifted
+        # value back to int32 before the float conversion.
+        bits = pltpu.bitcast(pltpu.prng_random_bits((BR, C2)), jnp.uint32)
+        u24 = pltpu.bitcast(bits >> 8, jnp.int32)  # top 24 bits, in [0, 2^24)
     u = u24.astype(jnp.float32) * _U24_SCALE
     out_ref[:] = jnp.where(u < p_up, 1.0, -1.0).astype(out_ref.dtype)
 
 
 @partial(
     jax.jit,
-    static_argnames=("update_red", "J", "field", "periodic", "interpret"),
+    static_argnames=("update_red", "J", "field", "periodic", "interpret",
+                     "block_rows"),
 )
 def halfsweep_pallas(
     seed: jax.Array,
@@ -130,6 +142,8 @@ def halfsweep_pallas(
     field: float = 0.0,
     periodic: bool = True,
     interpret: bool = False,
+    u24: jax.Array | None = None,
+    block_rows: int | None = None,
 ) -> jax.Array:
     """One color update given the opposite plane and its external halo rows.
 
@@ -138,11 +152,16 @@ def halfsweep_pallas(
         up_row: (1, C2) vertical neighbor of local row 0 (wrap row, ppermute'd
             neighbor row, or zeros for an open boundary).
         down_row: (1, C2) vertical neighbor of local row R-1.
+        u24: optional (R, C2) int32 uniforms in [0, 2^24); when given they
+            replace the in-kernel hardware PRNG (deterministic mode for
+            interpret-mode CI equality tests).
+        block_rows: optional row-block override (tests use small blocks to
+            exercise the multi-block halo splicing on small lattices).
     Returns:
         the freshly resampled color plane (R, C2).
     """
     R, C2 = other.shape
-    BR = pick_block_rows(R, C2, other.dtype.itemsize)
+    BR = block_rows or pick_block_rows(R, C2, other.dtype.itemsize)
     nblocks = R // BR
 
     # Per-block halo rows: block i>0 takes the last row of block i-1 from
@@ -159,15 +178,28 @@ def halfsweep_pallas(
     up_rows = jnp.repeat(up_rows, 8, axis=0)
     down_rows = jnp.repeat(down_rows, 8, axis=0)
 
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1,)
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # temperature (1,)
+        pl.BlockSpec((BR, C2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, C2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, C2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    inputs = [
+        jnp.asarray(seed, dtype=jnp.int32).reshape(1),
+        jnp.asarray(temperature, dtype=jnp.float32).reshape(1),
+        other,
+        up_rows,
+        down_rows,
+    ]
+    if u24 is not None:
+        in_specs.append(
+            pl.BlockSpec((BR, C2), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        )
+        inputs.append(jnp.asarray(u24, dtype=jnp.int32))
     grid_spec = pl.GridSpec(
         grid=(nblocks,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1,)
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # temperature (1,)
-            pl.BlockSpec((BR, C2), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, C2), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, C2), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((BR, C2), lambda i: (i, 0), memory_space=pltpu.VMEM),
     )
 
@@ -177,6 +209,7 @@ def halfsweep_pallas(
         J=float(J),
         field=float(field),
         periodic=periodic,
+        injected=u24 is not None,
     )
     return pl.pallas_call(
         kernel,
@@ -188,13 +221,7 @@ def halfsweep_pallas(
             bytes_accessed=2 * R * C2 * other.dtype.itemsize,
             transcendentals=R * C2,
         ),
-    )(
-        jnp.asarray(seed, dtype=jnp.int32).reshape(1),
-        jnp.asarray(temperature, dtype=jnp.float32).reshape(1),
-        other,
-        up_rows,
-        down_rows,
-    )
+    )(*inputs)
 
 
 def _wrap_halos(plane: jax.Array, periodic: bool):
@@ -207,7 +234,8 @@ def _wrap_halos(plane: jax.Array, periodic: bool):
 
 @partial(
     jax.jit,
-    static_argnames=("n_sweeps", "J", "field", "periodic", "interpret"),
+    static_argnames=("n_sweeps", "J", "field", "periodic", "interpret",
+                     "block_rows"),
 )
 def checkerboard_sweeps_planes_pallas(
     seed: jax.Array,
@@ -220,30 +248,44 @@ def checkerboard_sweeps_planes_pallas(
     field: float = 0.0,
     periodic: bool = True,
     interpret: bool = False,
+    uniforms: jax.Array | None = None,
+    block_rows: int | None = None,
 ):
     """n_sweeps full red/black sweeps via the Pallas kernel (single device).
 
     ``seed`` is an int32 scalar; sweep and color indices are folded in so
-    every half-sweep draws from a fresh stream.
+    every half-sweep draws from a fresh stream. ``uniforms``: optional
+    (n_sweeps, 2, R, C2) int32 in [0, 2^24) replacing the hardware PRNG
+    ([s, 0] feeds the red update of sweep s, [s, 1] the black update) —
+    deterministic mode for CI equality tests.
     """
     seed = jnp.asarray(seed, dtype=jnp.int32)
     R, C2 = red.shape
-    nblocks = R // pick_block_rows(R, C2, red.dtype.itemsize)
+    nblocks = R // (block_rows or pick_block_rows(R, C2, red.dtype.itemsize))
 
-    def body(carry, sweep_idx):
+    def body(carry, inp):
         red, black = carry
+        sweep_idx, u = inp
         base = seed + sweep_idx * (2 * nblocks)
         up, down = _wrap_halos(black, periodic)
         red = halfsweep_pallas(
             base, temperature, black, up, down,
-            update_red=True, J=J, field=field, periodic=periodic, interpret=interpret,
+            update_red=True, J=J, field=field, periodic=periodic,
+            interpret=interpret, u24=None if u is None else u[0],
+            block_rows=block_rows,
         )
         up, down = _wrap_halos(red, periodic)
         black = halfsweep_pallas(
             base + nblocks, temperature, red, up, down,
-            update_red=False, J=J, field=field, periodic=periodic, interpret=interpret,
+            update_red=False, J=J, field=field, periodic=periodic,
+            interpret=interpret, u24=None if u is None else u[1],
+            block_rows=block_rows,
         )
         return (red, black), None
 
-    (red, black), _ = jax.lax.scan(body, (red, black), jnp.arange(n_sweeps))
+    if uniforms is None:
+        xs = (jnp.arange(n_sweeps), None)
+    else:
+        xs = (jnp.arange(n_sweeps), jnp.asarray(uniforms, jnp.int32))
+    (red, black), _ = jax.lax.scan(body, (red, black), xs)
     return red, black
