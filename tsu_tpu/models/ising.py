@@ -221,6 +221,7 @@ class IsingGrid(IsingModel):
         periodic: bool = False,
         seed: Optional[int] = None,
         use_pallas: Optional[bool] = None,
+        bonds: Optional[Tuple[np.ndarray, np.ndarray]] = None,
     ):
         rows, cols = shape
         if rows <= 0 or cols <= 0:
@@ -232,6 +233,10 @@ class IsingGrid(IsingModel):
             use_pallas = jax.default_backend() == "tpu"
         self._use_pallas = use_pallas
         self._fast = rows % 2 == 0 and cols % 2 == 0
+        # Per-bond couplings (random-bond / spin-glass lattices): (Jh, Jv)
+        # planes, each (rows, cols); None means uniform coupling_strength.
+        self._Jh: Optional[np.ndarray] = None
+        self._Jv: Optional[np.ndarray] = None
 
         if self._fast:
             # Stencil path: skip the dense-J allocation entirely.
@@ -243,26 +248,91 @@ class IsingGrid(IsingModel):
             self.J = None  # dense J intentionally absent on the fast path
             self.h = np.zeros(n, dtype=np.float32)
             self._key = as_key(seed)
+            if bonds is not None:
+                self.set_bonds(*bonds)
         else:
+            if bonds is not None:
+                raise ConfigurationError(
+                    "per-bond arrays require even grid dimensions "
+                    "(checkerboard engine)"
+                )
             super().__init__(rows * cols, config, seed)
             self._build_dense()
 
     # -- helpers ------------------------------------------------------------
 
-    def set_coupling(self, i: int, j: int, strength: float):
-        """Per-bond couplings force the dense path (small grids only).
+    def set_bonds(self, Jh: np.ndarray, Jv: np.ndarray):
+        """Set all horizontal/vertical bonds at once (any lattice size).
 
-        The stencil fast path assumes a uniform J; editing individual bonds
-        converts the model to a dense-J instance first
-        (cf. tsu/models/ising.py:77-86 which is always dense).
+        ``Jh[r, c]`` couples (r, c)-(r, c+1); ``Jv[r, c]`` couples
+        (r, c)-(r+1, c); wrap entries are ignored unless periodic. Runs on
+        the checkerboard bond engine — no dense J is built
+        (r1 gap: random-bond lattices were capped at 4,096 spins).
+        """
+        if not self._fast:
+            raise ConfigurationError(
+                "per-bond arrays require even grid dimensions"
+            )
+        Jh = np.asarray(Jh, dtype=np.float32)
+        Jv = np.asarray(Jv, dtype=np.float32)
+        if Jh.shape != self.shape or Jv.shape != self.shape:
+            raise ConfigurationError(
+                f"bond planes must have shape {self.shape}; got "
+                f"{Jh.shape} / {Jv.shape}"
+            )
+        self._Jh, self._Jv = Jh, Jv
+
+    def _bond_planes(self):
+        """Current (Jh, Jv), materializing uniform planes on first edit."""
+        if self._Jh is None:
+            self._Jh = np.full(self.shape, self.coupling_strength, np.float32)
+            self._Jv = np.full(self.shape, self.coupling_strength, np.float32)
+        return self._Jh, self._Jv
+
+    def _neighbor_bond(self, i: int, j: int):
+        """(plane, r, c) locating the bond between flat sites i and j, or
+        None when they are not lattice neighbors."""
+        rows, cols = self.shape
+        ri, ci = divmod(i, cols)
+        rj, cj = divmod(j, cols)
+        if ri == rj:
+            dc = (cj - ci) % cols
+            if dc == 1 or (self.periodic and dc == cols - 1):
+                c = ci if dc == 1 else cj
+                return ("h", ri, c)
+        if ci == cj:
+            dr = (rj - ri) % rows
+            if dr == 1 or (self.periodic and dr == rows - 1):
+                r = ri if dr == 1 else rj
+                return ("v", r, ci)
+        return None
+
+    def set_coupling(self, i: int, j: int, strength: float):
+        """Set one coupling (cf. tsu/models/ising.py:77-86, always-dense).
+
+        Lattice-neighbor pairs edit the O(N) bond planes directly and keep
+        the checkerboard engine — any grid size works. Non-neighbor pairs
+        genuinely need a dense matrix and fall back to the dense path
+        (small grids only).
         """
         if self._fast:
+            loc = self._neighbor_bond(i, j)
+            if loc is not None:
+                Jh, Jv = self._bond_planes()
+                kind, r, c = loc
+                (Jh if kind == "h" else Jv)[r, c] = strength
+                return
             rows, cols = self.shape
             if rows * cols > 4096:
                 raise ConfigurationError(
-                    "per-bond couplings require the dense path, which is "
-                    f"limited to 4096 spins (grid has {rows * cols}); use a "
-                    "uniform coupling_strength for large lattices"
+                    f"sites {i} and {j} are not lattice neighbors; non-local "
+                    "couplings require the dense path, which is limited to "
+                    f"4096 spins (grid has {rows * cols})"
+                )
+            if self._Jh is not None:
+                raise ConfigurationError(
+                    "cannot mix per-bond planes with non-local couplings; "
+                    "build an IsingModel with a dense J instead"
                 )
             self._fast = False
             self.J = np.zeros((self.n_spins, self.n_spins), dtype=np.float32)
@@ -301,9 +371,16 @@ class IsingGrid(IsingModel):
     def energy(self, state: np.ndarray) -> float:
         if not self._fast:
             return super().energy(state)
+        s = jnp.asarray(state, dtype=jnp.float32).reshape(self.shape)
+        if self._Jh is not None:
+            from tsu_tpu.ops.checkerboard_bonds import lattice_energy_bonds
+
+            return float(lattice_energy_bonds(
+                s, jnp.asarray(self._Jh), jnp.asarray(self._Jv), 0.0,
+                periodic=self.periodic,
+            ))
         from tsu_tpu.energy import lattice_ising_energy
 
-        s = jnp.asarray(state, dtype=jnp.float32).reshape(self.shape)
         return float(
             lattice_ising_energy(s, J=self.coupling_strength, h=0.0,
                                  periodic=self.periodic)
@@ -312,9 +389,16 @@ class IsingGrid(IsingModel):
     def energies(self, samples: np.ndarray) -> np.ndarray:
         if not self._fast:
             return super().energies(samples)
+        s = jnp.asarray(samples, dtype=jnp.float32).reshape((-1,) + self.shape)
+        if self._Jh is not None:
+            from tsu_tpu.ops.checkerboard_bonds import lattice_energy_bonds
+
+            return np.asarray(lattice_energy_bonds(
+                s, jnp.asarray(self._Jh), jnp.asarray(self._Jv), 0.0,
+                periodic=self.periodic,
+            ))
         from tsu_tpu.ops.checkerboard import lattice_energy_batch
 
-        s = jnp.asarray(samples, dtype=jnp.float32).reshape((-1,) + self.shape)
         return np.asarray(
             lattice_energy_batch(s, J=self.coupling_strength, field=0.0,
                                  periodic=self.periodic)
@@ -343,6 +427,18 @@ class IsingGrid(IsingModel):
                 jax.random.bernoulli(jax.random.fold_in(key, 0), 0.5, self.shape),
                 1.0, -1.0,
             ).astype(jnp.float32)
+
+        if self._Jh is not None:
+            from tsu_tpu.ops.checkerboard_bonds import sample_lattice_bonds
+
+            states = sample_lattice_bonds(
+                jax.random.fold_in(key, 1), lat0,
+                jnp.asarray(self._Jh), jnp.asarray(self._Jv),
+                n_samples=n_samples, temperature=T,
+                n_burnin=self.config.n_burnin, n_sweeps=self.config.n_sweeps,
+                periodic=self.periodic,
+            )
+            return np.asarray(states).reshape(n_samples, -1)
 
         states = sample_grid(
             jax.random.fold_in(key, 1), lat0,
@@ -380,6 +476,21 @@ class IsingGrid(IsingModel):
             1.0, -1.0,
         ).astype(jnp.float32)
 
+        if self._Jh is not None:
+            from tsu_tpu.ops.checkerboard_bonds import sample_lattice_bonds
+
+            out = sample_lattice_bonds(
+                jax.random.fold_in(key, 1), lat0,
+                jnp.asarray(self._Jh), jnp.asarray(self._Jv),
+                n_samples=n_samples, temperature=T,
+                n_burnin=self.config.n_burnin, n_sweeps=self.config.n_sweeps,
+                periodic=self.periodic, collect="observables",
+            )
+            return {
+                "magnetization": np.asarray(out["magnetization"]),
+                "energy": np.asarray(out["energy"]),
+            }
+
         if mesh is not None:
             from tsu_tpu.parallel.lattice import sharded_lattice_sample
 
@@ -414,6 +525,21 @@ class IsingGrid(IsingModel):
     def find_ground_state(self, n_steps: int = 1000) -> Tuple[np.ndarray, float]:
         if not self._fast:
             return super().find_ground_state(n_steps)
+        if self._Jh is not None:
+            from tsu_tpu.ops.checkerboard_bonds import anneal_lattice_bonds
+
+            key = self._next_key()
+            lat0 = jnp.where(
+                jax.random.bernoulli(jax.random.fold_in(key, 0), 0.5, self.shape),
+                1.0, -1.0,
+            ).astype(jnp.float32)
+            best, e = anneal_lattice_bonds(
+                jax.random.fold_in(key, 1), lat0,
+                jnp.asarray(self._Jh), jnp.asarray(self._Jv),
+                T_initial=5.0, T_final=0.05, n_steps=n_steps,
+                periodic=self.periodic,
+            )
+            return self._grid_to_flat(np.asarray(best)), float(e)
         from tsu_tpu.samplers.annealing import anneal_lattice
 
         best, e = anneal_lattice(
