@@ -16,8 +16,10 @@ transport (the idiomatic TPU replacement for NCCL/MPI).
 
 from tsu_tpu.parallel.mesh import make_mesh, mesh_info
 from tsu_tpu.parallel.lattice import sharded_checkerboard_sweeps, sharded_lattice_sample
+from tsu_tpu.parallel.smc_sharded import annealed_smc_sharded
 
 __all__ = [
+    "annealed_smc_sharded",
     "make_mesh",
     "mesh_info",
     "sharded_checkerboard_sweeps",
