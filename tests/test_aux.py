@@ -118,3 +118,46 @@ class TestDemos:
         assert out["time_ratio"] > 0
         assert out["hardware_speedup"] > 0
         assert np.isfinite(out["tsu_quality"]["mean_energy"])
+
+
+class TestPlotlyDashboards:
+    """Reference-parity comparison dashboards (tsu/demos.py:194-431)."""
+
+    def test_mode_visualization_figure(self):
+        pytest.importorskip("plotly")
+        from tsu_tpu.demos import (
+            MultimodalDistribution,
+            create_plotly_mode_visualization,
+        )
+
+        rng = np.random.default_rng(0)
+        dist = MultimodalDistribution(seed=0)
+        fig = create_plotly_mode_visualization(
+            rng.normal(size=(50, dist.dim)), rng.normal(size=(50, dist.dim)),
+            dist,
+        )
+        # MCMC + TSU + one trace per mode.
+        assert len(fig.data) == 2 + dist.n_modes
+
+    def test_energy_comparison_figure(self):
+        pytest.importorskip("plotly")
+        from tsu_tpu.demos import create_plotly_energy_comparison
+
+        q = {"mean_energy": 1.0, "std_energy": 0.5, "min_energy": 0.1,
+             "n_modes_covered": 3}
+        q2 = {"mean_energy": 2.0, "std_energy": 0.9, "min_energy": 0.4,
+              "n_modes_covered": 2}
+        fig = create_plotly_energy_comparison(q, q2)
+        assert len(fig.data) == 4
+
+    def test_raises_without_plotly(self):
+        try:
+            import plotly  # noqa: F401
+
+            pytest.skip("plotly installed; guard not reachable")
+        except ImportError:
+            pass
+        from tsu_tpu.demos import create_plotly_energy_comparison
+
+        with pytest.raises(ImportError):
+            create_plotly_energy_comparison({}, {})

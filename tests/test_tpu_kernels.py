@@ -91,3 +91,30 @@ def test_pallas_bits_are_unbiased_at_infinite_temperature():
     lat = np.asarray(merge_checkerboard(red, black))
     assert abs(lat.mean()) < 0.02
     assert lat.std() > 0.9
+
+
+@pytest.mark.tpu
+def test_pallas_under_sharding_statistics():
+    """Pallas kernel inside the row-sharded shard_map on real TPU (1-shard
+    mesh on a single chip): physics must match the unsharded XLA path."""
+    from tsu_tpu.ops.checkerboard import (
+        lattice_energy_batch,
+        merge_checkerboard,
+        split_checkerboard,
+    )
+    from tsu_tpu.parallel import make_mesh
+    from tsu_tpu.parallel.lattice import sharded_checkerboard_sweeps
+
+    R = C = 128
+    T = 3.0
+    mesh = make_mesh(rows=1, devices=jax.devices()[:1])
+    red, black = split_checkerboard(jnp.ones((R, C), jnp.float32))
+    red, black = sharded_checkerboard_sweeps(
+        mesh, jax.random.key(3), red, black, T, 60, periodic=True,
+        use_pallas=True,
+    )
+    lat = merge_checkerboard(jnp.asarray(red), jnp.asarray(black))
+    m = float(jnp.mean(lat))
+    e = float(lattice_energy_batch(lat)) / (R * C)
+    assert abs(m) < 0.1          # disordered at T=3
+    assert -0.9 < e < -0.7       # e/site ~ -0.78 at T=3

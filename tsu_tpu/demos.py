@@ -120,6 +120,16 @@ def demo_continuous_sampling(n_samples: int = 2000, seed: int = 0,
 
         plot_sampling_diagnostics(tsu_samples[:, 0], show=False,
                                   title="TSU samples, dim 0")
+        try:
+            analysis = analyze_results(results, dist)
+            create_plotly_mode_visualization(
+                tsu_samples, mh_samples, dist,
+                save_path="visual_output/tsu_modes_2d.html")
+            create_plotly_energy_comparison(
+                analysis["tsu_quality"], analysis["mcmc_quality"],
+                save_path="visual_output/tsu_energy_comparison_2d.html")
+        except ImportError:
+            pass  # plotly optional
     return results
 
 
@@ -204,6 +214,8 @@ def analyze_results(results: dict, dist: MultimodalDistribution,
     mcmc_q = _energy_stats(dist.energy, mcmc["samples"])
     tsu_cov = tsu["coverage"]["n_modes_covered"]
     mcmc_cov = mcmc["coverage"]["n_modes_covered"]
+    tsu_q["n_modes_covered"] = tsu_cov
+    mcmc_q["n_modes_covered"] = mcmc_cov
 
     print("\n" + "=" * 72)
     print("DETAILED STATISTICAL ANALYSIS")
@@ -249,6 +261,97 @@ def analyze_results(results: dict, dist: MultimodalDistribution,
         "hardware_speedup": hardware_speedup,
         "metric_wins": wins,
     }
+
+
+def create_plotly_mode_visualization(
+    tsu_samples, mcmc_samples, dist: MultimodalDistribution,
+    save_path: Optional[str] = None,
+):
+    """Interactive 2-D mode-coverage comparison (cf. tsu/demos.py:194-293).
+
+    Projects both sample sets onto the first two dimensions, overlays the
+    mixture's mode centers (sized by weight), and returns the plotly Figure.
+    ``save_path`` writes an HTML file when given. Requires plotly (optional
+    dependency, same guard as tsu_tpu.visualization).
+    """
+    try:
+        import plotly.graph_objects as go
+    except ImportError as e:  # pragma: no cover - optional dep
+        raise ImportError("plotly required for interactive comparison plots") from e
+
+    tsu_samples = np.asarray(tsu_samples)
+    mcmc_samples = np.asarray(mcmc_samples)
+    fig = go.Figure()
+    fig.add_trace(go.Scatter(
+        x=mcmc_samples[:, 0], y=mcmc_samples[:, 1], mode="markers",
+        name="Metropolis-Hastings",
+        marker=dict(size=4, opacity=0.3, color="#d62728"),
+    ))
+    fig.add_trace(go.Scatter(
+        x=tsu_samples[:, 0], y=tsu_samples[:, 1], mode="markers",
+        name="tsu_tpu (annealed SMC)",
+        marker=dict(size=5, opacity=0.45, color="#2ca02c"),
+    ))
+    for i, mode in enumerate(dist.modes):
+        fig.add_trace(go.Scatter(
+            x=[float(mode[0])], y=[float(mode[1])], mode="markers+text",
+            name=f"mode {i + 1}",
+            marker=dict(size=16, symbol="diamond", color="#1f77b4",
+                        line=dict(color="black", width=2)),
+            text=[f"M{i + 1}"], textposition="top center",
+        ))
+    fig.update_layout(
+        title="Mode coverage: tsu_tpu vs MCMC (dims 0-1 of "
+              f"{dist.dim}-D, {dist.n_modes} modes)",
+        xaxis_title="dimension 0", yaxis_title="dimension 1",
+        width=900, height=700, hovermode="closest",
+    )
+    if save_path:
+        fig.write_html(save_path)
+    return fig
+
+
+def create_plotly_energy_comparison(
+    tsu_quality: dict, mcmc_quality: dict, save_path: Optional[str] = None,
+):
+    """2x2 grouped-bar quality dashboard (cf. tsu/demos.py:294-431).
+
+    Takes the ``tsu_quality`` / ``mcmc_quality`` dicts from
+    :func:`analyze_results` (mean/std/min energy + optional mode coverage)
+    and renders side-by-side bars per metric. Returns the plotly Figure.
+    """
+    try:
+        import plotly.graph_objects as go
+        from plotly.subplots import make_subplots
+    except ImportError as e:  # pragma: no cover - optional dep
+        raise ImportError("plotly required for interactive comparison plots") from e
+
+    metrics = [
+        ("mean_energy", "Mean energy (lower = better)"),
+        ("std_energy", "Energy std"),
+        ("min_energy", "Best (min) energy"),
+        ("n_modes_covered", "Modes covered"),
+    ]
+    fig = make_subplots(rows=2, cols=2,
+                        subplot_titles=[t for _, t in metrics])
+    for idx, (key, _title) in enumerate(metrics):
+        row, col = idx // 2 + 1, idx % 2 + 1
+        vals = [tsu_quality.get(key), mcmc_quality.get(key)]
+        if vals[0] is None or vals[1] is None:
+            continue
+        fig.add_trace(
+            go.Bar(x=["tsu_tpu", "MCMC"], y=vals,
+                   marker_color=["#2ca02c", "#d62728"],
+                   showlegend=False),
+            row=row, col=col,
+        )
+    fig.update_layout(
+        title="Sampling quality: tsu_tpu vs Metropolis-Hastings",
+        width=900, height=700,
+    )
+    if save_path:
+        fig.write_html(save_path)
+    return fig
 
 
 def run_all_demos(seed: int = 0):

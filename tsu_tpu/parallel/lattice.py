@@ -86,7 +86,7 @@ def _make_local_halfstep(
 
     if col_axis is not None:
 
-        def one_halfstep2d(k, seed, other, update_red):
+        def one_halfstep2d(k, seed, other, update_red, u24=None):
             up, down = _halo_exchange(other, axis_name, periodic)
             left, right = _halo_exchange_cols(other, col_axis, periodic)
             return halfstep_with_halo2d(
@@ -96,14 +96,18 @@ def _make_local_halfstep(
 
         return one_halfstep2d
 
-    def one_halfstep(k, seed, other, update_red):
+    def one_halfstep(k, seed, other, update_red, u24=None):
         up, down = _halo_exchange(other, axis_name, periodic)
         if use_pallas:
             from tsu_tpu.ops.checkerboard_pallas import halfsweep_pallas
 
+            # Horizontal wrap stays in-shard under row sharding, so
+            # ``periodic`` only governs the kernel's column masking; the
+            # vertical boundary is realized by the exchanged halo rows.
             return halfsweep_pallas(
                 seed, temperature, other, up, down,
                 update_red=update_red, J=J, field=field, periodic=periodic,
+                u24=u24,
             )
         return halfstep_with_halo(
             k, other, up, down, update_red, temperature, J, field, periodic
@@ -163,12 +167,16 @@ def sharded_checkerboard_sweeps(
     use_pallas: bool = False,
     axis_name: str = "row",
     col_axis: str | None = None,
+    uniforms: jax.Array | None = None,
 ):
     """n_sweeps full sweeps on compact color planes sharded over ``axis_name``
     (rows) and optionally ``col_axis`` (compact columns — 2-D sharding).
 
     ``red``/``black`` have global shape (R, C/2), sharded
     (axis_name, col_axis). Returns updated (red, black), same sharding.
+    ``uniforms``: optional (n_sweeps, 2, R, C2) int32 in [0, 2^24), sharded
+    like the planes on the row axis — deterministic mode for the Pallas path
+    (interpret-mode CI equality tests of kernel + halo exchange together).
     """
     n_shards = mesh.shape[axis_name]
     R, C2 = red.shape
@@ -181,7 +189,9 @@ def sharded_checkerboard_sweeps(
             f"compact columns must divide evenly: C/2={C2}, "
             f"shards={mesh.shape[col_axis]}"
         )
+    assert uniforms is None or use_pallas, "uniforms require the pallas path"
     spec = P(axis_name, col_axis)
+    uspec = P(None, None, axis_name, None)
     local_halfstep = _make_local_halfstep(
         axis_name, periodic, use_pallas, J, field, temperature, col_axis
     )
@@ -189,11 +199,11 @@ def sharded_checkerboard_sweeps(
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(), spec, spec),
+        in_specs=(P(), spec, spec, uspec),
         out_specs=(spec, spec),
         check_vma=False,
     )
-    def run(key, red_l, black_l):
+    def run(key, red_l, black_l, uniforms_l):
         shard = jax.lax.axis_index(axis_name)
         if col_axis is not None:
             shard = shard * jax.lax.axis_size(col_axis) + jax.lax.axis_index(col_axis)
@@ -201,20 +211,26 @@ def sharded_checkerboard_sweeps(
 
         def body(carry, inp):
             red_l, black_l = carry
-            sweep_idx, k = inp
+            sweep_idx, k, u = inp
             k_r, k_b = jax.random.split(k)
             seed0 = (sweep_idx * 2 + shard * 131) * jnp.int32(65_537)
-            red_l = local_halfstep(k_r, seed0, black_l, True)
-            black_l = local_halfstep(k_b, seed0 + 65_537, red_l, False)
+            red_l = local_halfstep(k_r, seed0, black_l, True,
+                                   None if u is None else u[0])
+            black_l = local_halfstep(k_b, seed0 + 65_537, red_l, False,
+                                     None if u is None else u[1])
             return (red_l, black_l), None
 
         keys = jax.random.split(key, n_sweeps)
         (red_l, black_l), _ = jax.lax.scan(
-            body, (red_l, black_l), (jnp.arange(n_sweeps), keys)
+            body, (red_l, black_l), (jnp.arange(n_sweeps), keys, uniforms_l)
         )
         return red_l, black_l
 
-    return jax.jit(run)(key, red, black)
+    if uniforms is not None:
+        uniforms = jax.device_put(
+            jnp.asarray(uniforms, jnp.int32), NamedSharding(mesh, uspec)
+        )
+    return jax.jit(run)(key, red, black, uniforms)
 
 
 def sharded_lattice_sample(
