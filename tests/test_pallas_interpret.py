@@ -178,3 +178,54 @@ def test_pallas_under_row_sharding_exact(periodic):
         )
     assert jnp.array_equal(r_o, jnp.asarray(r_k))
     assert jnp.array_equal(b_o, jnp.asarray(b_k))
+
+
+@pytest.mark.parametrize("periodic", [True, False])
+def test_bond_kernel_exact(periodic):
+    """Per-bond Pallas kernel vs the XLA bond-engine arithmetic, exact
+    equality on injected uniforms (random couplings + random field)."""
+    from tsu_tpu.ops.checkerboard_bonds import (
+        _neighbor_values,
+        color_bond_weights,
+    )
+    from tsu_tpu.ops.checkerboard_bonds_pallas import (
+        checkerboard_sweeps_bonds_pallas,
+    )
+
+    R = C = 16
+    T = 1.5
+    rng = np.random.default_rng(0)
+    red, black = _random_planes(jax.random.key(0), R, C)
+    n_sweeps = 2
+    U = jax.random.randint(jax.random.key(1), (n_sweeps, 2, R, C // 2),
+                           0, 1 << 24, jnp.int32)
+    Jh = rng.normal(0, 1, (R, C)).astype(np.float32)
+    Jv = rng.normal(0, 1, (R, C)).astype(np.float32)
+    field = rng.normal(0, 0.3, (R, C)).astype(np.float32)
+    weights = color_bond_weights(Jh, Jv, field, periodic)
+
+    def oracle_half(other, w, update_red, u24):
+        if periodic:
+            up_row, down_row = other[-1:, :], other[:1, :]
+        else:
+            z = jnp.zeros_like(other[:1, :])
+            up_row, down_row = z, z
+        wu, wd, wl, wr, f = w
+        up, down, left, right = _neighbor_values(other, up_row, down_row,
+                                                 update_red)
+        local = wu * up + wd * down + wl * left + wr * right + f
+        p = jax.nn.sigmoid(2.0 * local / T)
+        return jnp.where(u24.astype(jnp.float32) * _U24_SCALE < p, 1.0, -1.0)
+
+    r_o, b_o = red, black
+    for s in range(n_sweeps):
+        r_o = oracle_half(b_o, weights["red"], True, U[s, 0])
+        b_o = oracle_half(r_o, weights["black"], False, U[s, 1])
+
+    with pltpu.force_tpu_interpret_mode():
+        r_k, b_k = checkerboard_sweeps_bonds_pallas(
+            jnp.int32(0), red, black, weights, T, n_sweeps,
+            periodic=periodic, uniforms=U, block_rows=8,
+        )
+    assert jnp.array_equal(r_o, r_k)
+    assert jnp.array_equal(b_o, b_k)

@@ -436,7 +436,7 @@ class IsingGrid(IsingModel):
                 jnp.asarray(self._Jh), jnp.asarray(self._Jv),
                 n_samples=n_samples, temperature=T,
                 n_burnin=self.config.n_burnin, n_sweeps=self.config.n_sweeps,
-                periodic=self.periodic,
+                periodic=self.periodic, use_pallas=self._use_pallas,
             )
             return np.asarray(states).reshape(n_samples, -1)
 
@@ -485,6 +485,7 @@ class IsingGrid(IsingModel):
                 n_samples=n_samples, temperature=T,
                 n_burnin=self.config.n_burnin, n_sweeps=self.config.n_sweeps,
                 periodic=self.periodic, collect="observables",
+                use_pallas=self._use_pallas,
             )
             return {
                 "magnetization": np.asarray(out["magnetization"]),

@@ -141,7 +141,8 @@ def lattice_energy_bonds(lattice, Jh, Jv, field=0.0, *, periodic: bool = True):
 
 @partial(
     jax.jit,
-    static_argnames=("n_samples", "n_burnin", "n_sweeps", "periodic", "collect"),
+    static_argnames=("n_samples", "n_burnin", "n_sweeps", "periodic",
+                     "collect", "use_pallas"),
 )
 def sample_lattice_bonds(
     key,
@@ -156,28 +157,44 @@ def sample_lattice_bonds(
     n_sweeps: int = 1,
     periodic: bool = True,
     collect: str = "states",
+    use_pallas: bool = False,
 ):
     """Boltzmann-sample a random-bond 2-D lattice (cf. sample_lattice).
 
     collect="states" returns (n_samples, R, C); "observables" returns
     per-sample magnetization/energy scalars only (large lattices).
+    ``use_pallas`` routes sweeps through the fused TPU bond kernel
+    (checkerboard_bonds_pallas — in-kernel PRNG, one HBM pass per color).
     """
     weights = color_bond_weights(Jh, Jv, field, periodic)
     red, black = split_checkerboard(lattice0)
     k_burn, k_main = jax.random.split(key)
-    red, black = checkerboard_sweeps_bonds(
-        k_burn, red, black, weights, temperature, max(n_burnin, 1),
-        periodic=periodic,
-    ) if n_burnin else (red, black)
+
+    if use_pallas:
+        from tsu_tpu.ops.checkerboard_bonds_pallas import (
+            checkerboard_sweeps_bonds_pallas,
+        )
+
+        def sweeps(k, red, black, n):
+            seed = jax.random.randint(k, (), 0, 2**31 - 1, jnp.int32)
+            return checkerboard_sweeps_bonds_pallas(
+                seed, red, black, weights, temperature, n, periodic=periodic
+            )
+    else:
+        def sweeps(k, red, black, n):
+            return checkerboard_sweeps_bonds(
+                k, red, black, weights, temperature, n, periodic=periodic
+            )
+
+    red, black = sweeps(k_burn, red, black, max(n_burnin, 1)) \
+        if n_burnin else (red, black)
 
     R, C = lattice0.shape
     n_sites = R * C
 
     def step(carry, k):
         red, black = carry
-        red, black = checkerboard_sweeps_bonds(
-            k, red, black, weights, temperature, n_sweeps, periodic=periodic
-        )
+        red, black = sweeps(k, red, black, n_sweeps)
         lat = merge_checkerboard(red, black)
         if collect == "states":
             return (red, black), lat

@@ -1,0 +1,210 @@
+"""Pallas TPU kernel for per-bond (disordered) checkerboard half-sweeps.
+
+The XLA bond path (tsu_tpu/ops/checkerboard_bonds.py) reaches ~7e8 flips/s
+on a 4096^2 spin glass — bounded by threefry uniforms and per-sweep HBM
+round-trips. This kernel fuses, per color update and entirely in VMEM:
+
+    neighbor gather -> 4-weight local field -> sigmoid -> hardware PRNG ->
+    spin select
+
+HBM traffic per site update: 4 weight planes + field (f32) + opposite-color
+spins in/out — ~26 B/site, so the v5e roofline is ~3e10 site-updates/s
+(~40x the XLA path). Unlike the uniform kernel there is no threshold table:
+bond values are continuous, so the sigmoid runs on the VPU.
+
+Layout and halo protocol match tsu_tpu/ops/checkerboard_pallas.py exactly
+(compact color planes, caller-supplied 8-row halo tiles, row-blocks). Weight
+planes come from checkerboard_bonds.color_bond_weights — open boundaries are
+already zeroed there, so the kernel needs no edge masking. Uniform injection
+(``u24``) enables exact interpret-mode CI tests against the XLA bond oracle.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tsu_tpu.ops.checkerboard_pallas import pick_block_rows
+
+_U24_SCALE = 1.0 / 16777216.0
+
+
+def _halfsweep_bonds_kernel(
+    seed_ref,     # SMEM (1,) int32
+    t_ref,        # SMEM (1,) f32
+    other_ref,    # VMEM (BR, C2) opposite-color center block
+    up_ref,       # VMEM (8, C2) halo tile; row 0 = row above the block
+    down_ref,     # VMEM (8, C2) halo tile; row 0 = row below the block
+    wu_ref,       # VMEM (BR, C2) up-bond weights for the updated color
+    wd_ref,       # VMEM (BR, C2) down-bond weights
+    wl_ref,       # VMEM (BR, C2) left-bond weights
+    wr_ref,       # VMEM (BR, C2) right-bond weights
+    f_ref,        # VMEM (BR, C2) per-site field
+    *rest,        # [u24_ref,] out_ref
+    update_red: bool,
+    injected: bool = False,
+):
+    if injected:
+        u24_ref, out_ref = rest
+    else:
+        (out_ref,) = rest
+        i = pl.program_id(0)
+        pltpu.prng_seed(seed_ref[0] + i)
+
+    other = other_ref[:].astype(jnp.float32)
+    BR, C2 = other.shape
+
+    up = jnp.concatenate([up_ref[0:1, :].astype(jnp.float32), other[:-1, :]],
+                         axis=0)
+    down = jnp.concatenate([other[1:, :], down_ref[0:1, :].astype(jnp.float32)],
+                           axis=0)
+    left_shift = pltpu.roll(other, 1, 1)
+    right_shift = pltpu.roll(other, C2 - 1, 1)
+    row_par = jax.lax.broadcasted_iota(jnp.int32, (BR, C2), 0) % 2
+    pick = (row_par == 0) if update_red else (row_par == 1)
+    left = jnp.where(pick, left_shift, other)
+    right = jnp.where(pick, other, right_shift)
+
+    local = (wu_ref[:] * up + wd_ref[:] * down
+             + wl_ref[:] * left + wr_ref[:] * right + f_ref[:])
+    p_up = jax.nn.sigmoid(2.0 * local / t_ref[0])
+
+    if injected:
+        u24 = u24_ref[:]
+    else:
+        bits = pltpu.bitcast(pltpu.prng_random_bits((BR, C2)), jnp.uint32)
+        u24 = pltpu.bitcast(bits >> 8, jnp.int32)
+    u = u24.astype(jnp.float32) * _U24_SCALE
+    out_ref[:] = jnp.where(u < p_up, 1.0, -1.0).astype(out_ref.dtype)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("update_red", "interpret", "block_rows"),
+)
+def halfsweep_bonds_pallas(
+    seed: jax.Array,
+    temperature,
+    other: jax.Array,
+    up_row: jax.Array,
+    down_row: jax.Array,
+    weights,
+    *,
+    update_red: bool,
+    interpret: bool = False,
+    u24: jax.Array | None = None,
+    block_rows: int | None = None,
+) -> jax.Array:
+    """One weighted color update given the opposite plane + halo rows.
+
+    ``weights``: the 5-tuple (w_up, w_down, w_left, w_right, field) of
+    (R, C2) planes from color_bond_weights for the color being updated.
+    """
+    R, C2 = other.shape
+    BR = block_rows or pick_block_rows(R, C2, 4, vmem_budget=2**19)
+    nblocks = R // BR
+
+    if nblocks > 1:
+        up_rows = jnp.concatenate([up_row, other[BR - 1 : R - 1 : BR]], axis=0)
+        down_rows = jnp.concatenate([other[BR:R:BR], down_row], axis=0)
+    else:
+        up_rows = up_row
+        down_rows = down_row
+    up_rows = jnp.repeat(up_rows, 8, axis=0)
+    down_rows = jnp.repeat(down_rows, 8, axis=0)
+
+    blk = pl.BlockSpec((BR, C2), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        blk,
+        pl.BlockSpec((8, C2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, C2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        blk, blk, blk, blk, blk,
+    ]
+    inputs = [
+        jnp.asarray(seed, dtype=jnp.int32).reshape(1),
+        jnp.asarray(temperature, dtype=jnp.float32).reshape(1),
+        other,
+        up_rows,
+        down_rows,
+        *(jnp.asarray(w, jnp.float32) for w in weights),
+    ]
+    if u24 is not None:
+        in_specs.append(blk)
+        inputs.append(jnp.asarray(u24, jnp.int32))
+
+    kernel = partial(_halfsweep_bonds_kernel, update_red=update_red,
+                     injected=u24 is not None)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((R, C2), other.dtype),
+        grid_spec=pl.GridSpec(grid=(nblocks,), in_specs=in_specs,
+                              out_specs=blk),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=16 * R * C2,
+            bytes_accessed=7 * R * C2 * 4,
+            transcendentals=R * C2,
+        ),
+    )(*inputs)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_sweeps", "periodic", "interpret", "block_rows"),
+)
+def checkerboard_sweeps_bonds_pallas(
+    seed: jax.Array,
+    red: jax.Array,
+    black: jax.Array,
+    weights,
+    temperature,
+    n_sweeps: int,
+    *,
+    periodic: bool = True,
+    interpret: bool = False,
+    uniforms: jax.Array | None = None,
+    block_rows: int | None = None,
+):
+    """n_sweeps full weighted sweeps via the Pallas bond kernel.
+
+    ``weights``: dict from color_bond_weights. ``uniforms``: optional
+    (n_sweeps, 2, R, C2) int32 in [0, 2^24) for deterministic CI tests.
+    """
+    seed = jnp.asarray(seed, dtype=jnp.int32)
+    R, C2 = red.shape
+    nblocks = R // (block_rows or pick_block_rows(R, C2, 4, vmem_budget=2**19))
+
+    def wrap(plane):
+        if periodic:
+            return plane[-1:, :], plane[:1, :]
+        z = jnp.zeros_like(plane[:1, :])
+        return z, z
+
+    def body(carry, inp):
+        red, black = carry
+        sweep_idx, u = inp
+        base = seed + sweep_idx * (2 * nblocks)
+        up, down = wrap(black)
+        red = halfsweep_bonds_pallas(
+            base, temperature, black, up, down, weights["red"],
+            update_red=True, interpret=interpret,
+            u24=None if u is None else u[0], block_rows=block_rows,
+        )
+        up, down = wrap(red)
+        black = halfsweep_bonds_pallas(
+            base + nblocks, temperature, red, up, down, weights["black"],
+            update_red=False, interpret=interpret,
+            u24=None if u is None else u[1], block_rows=block_rows,
+        )
+        return (red, black), None
+
+    xs = (jnp.arange(n_sweeps),
+          None if uniforms is None else jnp.asarray(uniforms, jnp.int32))
+    (red, black), _ = jax.lax.scan(body, (red, black), xs)
+    return red, black
