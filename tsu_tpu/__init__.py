@@ -57,6 +57,7 @@ from tsu_tpu.models.ising import (
     demonstrate_phase_transition,
 )
 from tsu_tpu.models.ml import (
+    AnchoredEnsembleRegressor,
     BayesianNetwork,
     BayesianRegressor,
     BayesianLinear,
@@ -126,6 +127,7 @@ __all__ = [
     # ML
     "BayesianNetwork",
     "BayesianRegressor",
+    "AnchoredEnsembleRegressor",
     "BayesianLinear",
     "StochasticLayer",
     "PosteriorSample",

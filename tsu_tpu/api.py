@@ -71,6 +71,7 @@ class Sampler(ABC):
         self.backend = backend
         self.config = config or TSUConfig(n_chains=16, n_burnin=200, n_steps=200)
         self.tsu = ThermalSamplingUnit(self.config, seed=seed)
+        self._compiled_shapes: set = set()
 
     @abstractmethod
     def energy_function(self, x: jax.Array) -> jax.Array:
@@ -94,14 +95,20 @@ class Sampler(ABC):
         surface (cf. tsu/api.py:75-108 — whose default is the bare array;
         here the richer result is the default, ``.samples`` is the array).
         ``n`` is accepted as an alias for ``n_samples``.
+
+        Timing honesty: the first call with a given shape includes JIT
+        compilation; ``metadata["includes_compile"]`` marks it. Later calls
+        with the same shapes report steady-state throughput.
         """
         if n is not None:
             n_samples = n
+        first_call = n_samples not in self._compiled_shapes
         start = time.perf_counter()
         samples = self.tsu.sample_from_energy(
             self.energy_function, self._get_initial_state(), n_samples
         )
         elapsed = time.perf_counter() - start
+        self._compiled_shapes.add(n_samples)
         if not return_metadata:
             return np.asarray(samples)
         return SamplingResult(
@@ -113,6 +120,7 @@ class Sampler(ABC):
                 "samples_per_second": n_samples / elapsed if elapsed > 0 else float("inf"),
                 "device": str(jax.devices()[0]),
                 "n_chains": self.config.n_chains,
+                "includes_compile": first_call,
             },
         )
 
@@ -331,21 +339,25 @@ def optimize(
     Langevin on a smoothed objective.
     """
     start = time.perf_counter()
-    key = as_key(seed)
 
     if hasattr(problem, "to_ising"):
         from tsu_tpu.energy import ising_to_boltzmann
         from tsu_tpu.samplers.annealing import simulated_annealing_dense
 
         J, h = problem.to_ising()
-        J_bit, h_bit = ising_to_boltzmann(jnp.asarray(J), jnp.asarray(h))
+        J_bit, h_bit = ising_to_boltzmann(np.asarray(J), np.asarray(h))
+        # Integer seed lets small problems take the native host SA loop
+        # (no device dispatch); see simulated_annealing_dense.
+        seed_int = (int(seed) if isinstance(seed, (int, np.integer))
+                    else int(np.random.default_rng(seed).integers(2**63)))
         best_bits, _ = simulated_annealing_dense(
-            key, J_bit, h_bit,
+            seed_int, J_bit, h_bit,
             T_initial=initial_temp, T_final=final_temp,
             n_steps=n_steps, n_chains=n_chains,
         )
         best_x = np.asarray(2.0 * np.asarray(best_bits) - 1.0)
     else:
+        key = as_key(seed)
         from tsu_tpu.samplers.langevin import sample_langevin
 
         dim = problem.dimension
@@ -427,7 +439,9 @@ class StochasticLinear(ProbabilisticLayer):
 
     def forward(self, x: np.ndarray, n_samples: Optional[int] = None) -> np.ndarray:
         self._key, k = jax.random.split(self._key)
-        shape = ((n_samples,) if n_samples else ()) + self.weights.shape
+        # `is not None`, not truthiness: n_samples=0 must yield an empty
+        # (0, batch, out) stack, not a single unstacked draw.
+        shape = ((n_samples,) if n_samples is not None else ()) + self.weights.shape
         w = self.weights + self.weight_noise * np.asarray(
             jax.random.normal(k, shape)
         )
@@ -446,7 +460,7 @@ class BernoulliActivation(ProbabilisticLayer):
     def forward(self, x: np.ndarray, n_samples: Optional[int] = None) -> np.ndarray:
         self._key, k = jax.random.split(self._key)
         p = jax.nn.sigmoid(jnp.asarray(x))
-        shape = ((n_samples,) + p.shape) if n_samples else p.shape
+        shape = ((n_samples,) + p.shape) if n_samples is not None else p.shape
         return np.asarray(jax.random.bernoulli(k, p, shape).astype(jnp.float32))
 
 

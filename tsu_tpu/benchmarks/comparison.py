@@ -93,7 +93,9 @@ class ComparisonBenchmark:
         # This engine (vectorized Gibbs). Warm-up excludes compile time from
         # the comparison (steady-state, like the NumPy baselines).
         sampler = GibbsSampler(GibbsConfig(n_burnin=100, n_sweeps=2,
-                                           n_chains=32), seed=self.seed)
+                                           n_chains=32,
+                                           update_order="checkerboard"),
+                               seed=self.seed)
         sampler.sample_boltzmann(J, bias=h, n_samples=n_samples)
         t0 = time.perf_counter()
         s = sampler.sample_boltzmann(J, bias=h, n_samples=n_samples)
@@ -141,6 +143,9 @@ class ComparisonBenchmark:
         problem = MaxCutProblem(W)
         rows = []
 
+        # Warm-up: the comparison is steady-state SA vs the NumPy baselines
+        # (compile time is a one-off, reported by the optimization suite).
+        optimize(problem, n_steps=500, n_chains=16, seed=self.seed)
         t0 = time.perf_counter()
         out = optimize(problem, n_steps=500, n_chains=16, seed=self.seed)
         t_sa = time.perf_counter() - t0
@@ -195,7 +200,8 @@ class ComparisonBenchmark:
             exact = _exact_distribution(J, h, 1.0)
 
             sampler = GibbsSampler(
-                GibbsConfig(n_burnin=100, n_sweeps=2, n_chains=16),
+                GibbsConfig(n_burnin=100, n_sweeps=2, n_chains=16,
+                            update_order="checkerboard"),
                 seed=self.seed + trial,
             )
             s = sampler.sample_boltzmann(J, bias=h, n_samples=n_samples)

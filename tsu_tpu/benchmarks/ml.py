@@ -148,21 +148,27 @@ class MLBenchmark:
         x_test = np.linspace(-3, 3, 200)[:, None].astype(np.float32)
         y_test = (x_test**3
                   + 0.05 * rng.normal(size=x_test.shape)).astype(np.float32)
-        # Full-strength KL (beta > 1) keeps weight posteriors near the prior
-        # where data is uninformative, so out-of-distribution predictive
-        # spread stays honest (mean-field VI otherwise collapses OOD).
-        reg = BayesianRegressor(1, [32, 32], seed=self.seed)
+        # Estimator: anchored ensemble (randomized-MAP posterior sampling).
+        # Mean-field VI structurally undercovers out of distribution — its
+        # factorized posterior collapses the weight directions that control
+        # OOD behavior (r2 verdict: coverage 0.62 vs the [0.90, 0.99] band).
+        # The anchored ensemble's OOD predictive reverts to the wide prior
+        # predictive, which is the honest answer where data is silent.
+        from tsu_tpu.models.ml import AnchoredEnsembleRegressor
+
+        reg = AnchoredEnsembleRegressor(1, [32, 32], n_members=8,
+                                        seed=self.seed)
         t0 = time.perf_counter()
-        reg.fit(x, y, n_epochs=n_epochs, batch_size=n_train,
-                learning_rate=0.01, kl_weight=3.0)
+        reg.fit(x, y, n_epochs=max(n_epochs, 2000), learning_rate=0.01)
         elapsed = time.perf_counter() - t0
-        res = reg.predict(x_test, n_samples=100)
+        res = reg.predict(x_test)
         std = res.std.ravel()
         in_dist = std[np.abs(x_test.ravel()) <= 1.0].mean()
         out_dist = std[np.abs(x_test.ravel()) > 2.0].mean()
         return self._evaluate(
             "extrapolation", reg, x_test, y_test, elapsed,
-            extra={"uncertainty_ratio": round(float(out_dist / max(in_dist, 1e-8)), 2)},
+            extra={"uncertainty_ratio": round(float(out_dist / max(in_dist, 1e-8)), 2),
+                   "estimator": "anchored_ensemble_8"},
         )
 
     def run_all_benchmarks(self, quick: bool = False) -> List[MLResult]:

@@ -39,6 +39,9 @@ class BenchmarkRunner:
         }
 
     def run_all(self, quick: bool = False, save_results: bool = True) -> dict:
+        from tsu_tpu.profiling import enable_compilation_cache
+
+        enable_compilation_cache()
         from tsu_tpu.benchmarks.comparison import ComparisonBenchmark
         from tsu_tpu.benchmarks.ml import MLBenchmark
         from tsu_tpu.benchmarks.optimization import OptimizationBenchmark

@@ -91,7 +91,8 @@ class SamplingBenchmark:
         n = J.shape[0]
         sampler = GibbsSampler(
             GibbsConfig(temperature=temperature, n_burnin=n_burnin,
-                        n_sweeps=n_sweeps, n_chains=self.n_chains),
+                        n_sweeps=n_sweeps, n_chains=self.n_chains,
+                        update_order="checkerboard"),
             seed=self.seed,
         )
         # Warm-up call with identical static shapes: compilation (and any

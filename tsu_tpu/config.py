@@ -80,10 +80,12 @@ class GibbsConfig:
         temperature: sampling temperature T > 0.
         n_burnin: burn-in sweeps before the first retained sample.
         n_sweeps: sweeps between retained samples (thinning).
-        update_order: "checkerboard" (vectorized red/black, TPU-native),
-            "sequential" (site-ordered scan, matches reference semantics
-            exactly, tsu/gibbs.py:153-158) or "random" (random permutation
-            per sweep, tsu/gibbs.py:155-156).
+        update_order: "sequential" (default — true site-ordered scan, the
+            exact Markov chain of the reference, tsu/gibbs.py:153-158),
+            "random" (site order re-permuted every sweep,
+            tsu/gibbs.py:155-156), or "checkerboard" (graph-colored block
+            sweeps — the TPU-native fast path; same invariant distribution,
+            different chain; use it whenever throughput matters).
         n_chains: independent chains run in parallel.
     """
 

@@ -166,6 +166,13 @@ def ising_to_boltzmann(J: jax.Array, h: jax.Array):
     Matching E(b) = -1/2 b^T J_bit b - h_bit^T b gives
         J_bit = 4 J,   h_bit = 2 h - 2 * rowsum(J).
     """
+    # NumPy in -> NumPy out: host callers (e.g. the native small-problem SA
+    # path) must not be forced onto the accelerator for a 2-line transform.
+    if not isinstance(J, jax.Array) and not isinstance(h, jax.Array):
+        import numpy as np
+
+        J = np.asarray(J)
+        return 4.0 * J, 2.0 * np.asarray(h) - 2.0 * np.sum(J, axis=1)
     J = jnp.asarray(J)
     h = jnp.asarray(h)
     J_bit = 4.0 * J

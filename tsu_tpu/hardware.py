@@ -182,7 +182,8 @@ class HardwareEmulator:
         from tsu_tpu.samplers.gibbs import GibbsSampler
 
         n_chains = min(self.parallel_chains, n_samples, 1024)
-        config = GibbsConfig(temperature=temperature, n_chains=n_chains)
+        config = GibbsConfig(temperature=temperature, n_chains=n_chains,
+                             update_order="checkerboard")
         sampler = GibbsSampler(config)
         samples = sampler.sample_boltzmann(coupling, n_samples=n_samples)
         timing = self.estimate_hardware_time(n_samples, config.n_sweeps)

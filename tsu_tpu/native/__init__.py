@@ -54,6 +54,11 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.cut_value.argtypes = [i64p, i32p, f64p, ctypes.c_int64, i8p]
     lib.coloring_conflicts.restype = ctypes.c_int64
     lib.coloring_conflicts.argtypes = [i64p, i32p, ctypes.c_int64, i32p]
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    lib.sa_dense.restype = ctypes.c_double
+    lib.sa_dense.argtypes = [f32p, f32p, ctypes.c_int32, f32p,
+                             ctypes.c_int32, ctypes.c_int32,
+                             ctypes.c_uint64, f32p]
     _lib = lib
     return lib
 
@@ -153,6 +158,30 @@ def coloring_conflicts_csr(indptr, indices, colors) -> int:
             if j > i and c[i] == c[j]:
                 conflicts += 1
     return conflicts
+
+
+def sa_dense_native(J, h, schedule, n_chains: int, seed: int):
+    """Native simulated annealing on dense (J, h); returns
+    (best_state (n,), best_energy) or None when the library is unavailable.
+
+    The latency path for small problems: one accelerator dispatch costs more
+    round-trip time than the entire anneal, so the host C++ loop wins below
+    a few hundred variables (tsu_tpu/samplers/annealing.py does the routing;
+    the TPU scan owns everything larger).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    J = np.ascontiguousarray(J, np.float32)
+    h = np.ascontiguousarray(h, np.float32)
+    schedule = np.ascontiguousarray(schedule, np.float32)
+    n = J.shape[0]
+    best_state = np.zeros(n, dtype=np.float32)
+    e = lib.sa_dense(J, h, n, schedule, len(schedule), int(n_chains),
+                     int(seed) & (2**64 - 1), best_state)
+    if e >= 1e299:
+        return None
+    return best_state, float(e)
 
 
 def native_available() -> bool:

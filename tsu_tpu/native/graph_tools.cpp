@@ -9,6 +9,7 @@
 //
 // Build: see build.sh (g++ -O3 -shared -fPIC).
 
+#include <cmath>
 #include <cstdint>
 #include <cstdlib>
 #include <random>
@@ -113,6 +114,82 @@ int64_t coloring_conflicts(
       if (j > i && colors[i] == colors[j]) ++conflicts;
     }
   return conflicts;
+}
+
+
+// Simulated annealing on a dense bit-Boltzmann (J, h):
+//   E(b) = -1/2 b^T J b - h^T b,  b in {0,1}^n
+// Heat-bath site updates in index order (the engine's "sequential" chain,
+// cf. reference tsu/gibbs.py:128-162), one sweep per schedule temperature,
+// n_chains independent chains; returns the best energy seen and writes the
+// matching state. This is the LATENCY path: small problems (n <= a few
+// hundred) where a single accelerator dispatch costs more than the whole
+// anneal — the TPU path (tsu_tpu/samplers/annealing.py) owns everything big.
+double sa_dense(
+    const float* J,          // (n, n) row-major, symmetric
+    const float* h,          // (n,)
+    int32_t n,
+    const float* schedule,   // (n_steps,) temperatures
+    int32_t n_steps,
+    int32_t n_chains,
+    uint64_t seed,
+    float* best_state) {     // out: (n,)
+  std::mt19937_64 rng(seed);
+  std::uniform_real_distribution<double> unif(0.0, 1.0);
+  std::uniform_int_distribution<int> coin(0, 1);
+
+  double best_e = 1e300;
+  float* b = static_cast<float*>(std::malloc(n * sizeof(float)));
+  double* f = static_cast<double*>(std::malloc(n * sizeof(double)));
+  if (!b || !f) {
+    std::free(b);
+    std::free(f);
+    return 1e300;
+  }
+
+  for (int32_t c = 0; c < n_chains; ++c) {
+    // Random init + full local fields f[i] = sum_j J[i][j] b[j] + h[i].
+    for (int32_t i = 0; i < n; ++i) b[i] = static_cast<float>(coin(rng));
+    double e = 0.0;
+    for (int32_t i = 0; i < n; ++i) {
+      double fi = h[i];
+      const float* Ji = J + static_cast<int64_t>(i) * n;
+      for (int32_t j = 0; j < n; ++j) fi += Ji[j] * b[j];
+      f[i] = fi;
+      e += -0.5 * (fi - h[i]) * b[i] - h[i] * b[i];
+    }
+
+    for (int32_t t = 0; t < n_steps; ++t) {
+      const double T = schedule[t];
+      for (int32_t i = 0; i < n; ++i) {
+        const float Jii = J[static_cast<int64_t>(i) * n + i];
+        const double g = f[i] - Jii * b[i];  // field excluding self-coupling
+        double x = g / T;
+        if (x > 30.0) x = 30.0;
+        if (x < -30.0) x = -30.0;
+        const double p = 1.0 / (1.0 + std::exp(-x));
+        const float newb = unif(rng) < p ? 1.0f : 0.0f;
+        const float delta = newb - b[i];
+        if (delta != 0.0f) {
+          // dE = -delta * g - 0.5 * Jii * (newb^2 - old^2); bits: x^2 = x.
+          e += -delta * g - 0.5 * Jii * delta;
+          const int64_t in = static_cast<int64_t>(i) * n;
+          for (int32_t j = 0; j < n; ++j) f[j] += J[static_cast<int64_t>(j) * n + i] * delta;
+          (void)in;
+          b[i] = newb;
+        }
+        if (e < best_e) {
+          best_e = e;
+          for (int32_t j = 0; j < n; ++j) best_state[j] = b[j];
+          best_state[i] = b[i];
+        }
+      }
+    }
+  }
+
+  std::free(b);
+  std::free(f);
+  return best_e;
 }
 
 }  // extern "C"

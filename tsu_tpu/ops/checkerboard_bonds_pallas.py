@@ -34,7 +34,7 @@ _U24_SCALE = 1.0 / 16777216.0
 
 
 def _halfsweep_bonds_kernel(
-    seed_ref,     # SMEM (1,) int32
+    seed_ref,     # SMEM (3,) int32 — (base, sweep, color) components
     t_ref,        # SMEM (1,) f32
     other_ref,    # VMEM (BR, C2) opposite-color center block
     up_ref,       # VMEM (8, C2) halo tile; row 0 = row above the block
@@ -53,7 +53,9 @@ def _halfsweep_bonds_kernel(
     else:
         (out_ref,) = rest
         i = pl.program_id(0)
-        pltpu.prng_seed(seed_ref[0] + i)
+        # Hash (base, sweep, color, block) — never additive (see
+        # checkerboard_pallas._halfsweep_kernel).
+        pltpu.prng_seed(seed_ref[0], seed_ref[1], seed_ref[2], i)
 
     other = other_ref[:].astype(jnp.float32)
     BR, C2 = other.shape
@@ -126,8 +128,10 @@ def halfsweep_bonds_pallas(
         pl.BlockSpec((8, C2), lambda i: (i, 0), memory_space=pltpu.VMEM),
         blk, blk, blk, blk, blk,
     ]
+    seed = jnp.asarray(seed, dtype=jnp.int32).reshape(-1)
+    seed = jnp.concatenate([seed, jnp.zeros(3 - seed.shape[0], jnp.int32)])
     inputs = [
-        jnp.asarray(seed, dtype=jnp.int32).reshape(1),
+        seed,
         jnp.asarray(temperature, dtype=jnp.float32).reshape(1),
         other,
         up_rows,
@@ -177,8 +181,6 @@ def checkerboard_sweeps_bonds_pallas(
     (n_sweeps, 2, R, C2) int32 in [0, 2^24) for deterministic CI tests.
     """
     seed = jnp.asarray(seed, dtype=jnp.int32)
-    R, C2 = red.shape
-    nblocks = R // (block_rows or pick_block_rows(R, C2, 4, vmem_budget=2**19))
 
     def wrap(plane):
         if periodic:
@@ -189,16 +191,17 @@ def checkerboard_sweeps_bonds_pallas(
     def body(carry, inp):
         red, black = carry
         sweep_idx, u = inp
-        base = seed + sweep_idx * (2 * nblocks)
         up, down = wrap(black)
         red = halfsweep_bonds_pallas(
-            base, temperature, black, up, down, weights["red"],
+            jnp.stack([seed, sweep_idx, jnp.int32(0)]),
+            temperature, black, up, down, weights["red"],
             update_red=True, interpret=interpret,
             u24=None if u is None else u[0], block_rows=block_rows,
         )
         up, down = wrap(red)
         black = halfsweep_bonds_pallas(
-            base + nblocks, temperature, red, up, down, weights["black"],
+            jnp.stack([seed, sweep_idx, jnp.int32(1)]),
+            temperature, red, up, down, weights["black"],
             update_red=False, interpret=interpret,
             u24=None if u is None else u[1], block_rows=block_rows,
         )

@@ -134,7 +134,7 @@ def _horiz(other_f32, row_is_even, update_red, periodic):
 
 
 def _fused_sweep_kernel(
-    seed_ref,        # SMEM (1,) int32
+    seed_ref,        # SMEM (2,) int32 — (base seed, sweep index)
     table_ref,       # SMEM (9,) int32 heat-bath thresholds (see sigmoid_table)
     black_ref,       # VMEM (BR, C2) black center band
     up_ref,          # VMEM (8, C2): rows 0,1 = black rows i*BR-2, i*BR-1
@@ -167,20 +167,23 @@ def _fused_sweep_kernel(
     else:
         red_out_ref, black_out_ref = rest
         # Row-group-keyed PRNG: the uniforms for global rows [8g, 8g+8) come
-        # from the stream seeded (seed, g), regardless of which band draws
-        # them. The red extension rows (global i*BR-1 and (i+1)*BR) are
-        # thereby recomputed bit-identically to the center rows stored by
-        # the neighboring bands, so the black update at band boundaries
+        # from the stream seeded (seed, sweep, g), regardless of which band
+        # draws them. The red extension rows (global i*BR-1 and (i+1)*BR)
+        # are thereby recomputed bit-identically to the center rows stored
+        # by the neighboring bands, so the black update at band boundaries
         # conditions on exactly the stored red plane. (Per-band seeding
         # would *re-draw* those rows with fresh uniforms — a subtle
         # detailed-balance violation at two rows per band boundary.)
-        # One 32-bit draw per site feeds BOTH color updates (lo16 -> red,
-        # hi16 -> black).
+        # The sweep index is a SEPARATE prng_seed component, not added to
+        # the seed: an additive schedule would let adjacent integer seeds s,
+        # s+1 replay identical streams shifted by one sweep (r2 advisor
+        # finding). One 32-bit draw per site feeds BOTH color updates
+        # (lo16 -> red, hi16 -> black).
         gpb = BR // 8  # row groups per band (BR divisible by 8)
         draws = []
         for j in range(gpb + 2):
             g = (i * gpb - 1 + j) % (nb * gpb)
-            pltpu.prng_seed(seed_ref[0], g)
+            pltpu.prng_seed(seed_ref[0], seed_ref[1], g)
             draws.append(pltpu.prng_random_bits((8, C2)))
         # Row 0 of buf = global row i*BR - 8.
         buf = pltpu.bitcast(jnp.concatenate(draws, axis=0), jnp.uint32)
@@ -259,8 +262,10 @@ def fused_sweep_pallas(
     """One full checkerboard sweep (red then black) in a single pallas_call.
 
     ``red`` is accepted for API symmetry but not read (heat-bath red update
-    depends only on black). Returns (new_red, new_black) in the input dtype
-    (float32 or bfloat16). ``uniforms``: optional (2, R, C2) int32 in
+    depends only on black). ``seed`` is an int32 scalar, or a (2,) vector
+    ``[base, sweep]`` whose components are hashed (not added) into the
+    per-row-group PRNG streams. Returns (new_red, new_black) in the input
+    dtype (float32 or bfloat16). ``uniforms``: optional (2, R, C2) int32 in
     [0, 2^16) replacing the hardware PRNG ([0] -> red update, [1] -> black);
     ``band_rows`` overrides the row-band height (CI tests use small bands to
     exercise multi-band boundary consistency on small lattices).
@@ -307,8 +312,10 @@ def fused_sweep_pallas(
         pl.BlockSpec((8, C2), lambda i: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((8, C2), lambda i: (i, 0), memory_space=pltpu.VMEM),
     ]
+    seed = jnp.asarray(seed, dtype=jnp.int32).reshape(-1)
+    seed = jnp.concatenate([seed, jnp.zeros(2 - seed.shape[0], jnp.int32)])
     inputs = [
-        jnp.asarray(seed, dtype=jnp.int32).reshape(1),
+        seed,
         sigmoid_table16(J, field, temperature),
         black,
         ups,
@@ -390,7 +397,7 @@ def fused_sweeps(
         red, black = carry
         k, u = inp
         red, black = fused_sweep_pallas(
-            seed + k, red, black, temperature,
+            jnp.stack([seed, k]), red, black, temperature,
             J=J, field=field, periodic=periodic, uniforms=u,
             band_rows=band_rows, interpret=interpret,
         )

@@ -51,7 +51,7 @@ def pick_block_rows(R: int, C2: int, itemsize: int = 4, vmem_budget: int = 2 * 2
 
 
 def _halfsweep_kernel(
-    seed_ref,        # SMEM (1,) int32
+    seed_ref,        # SMEM (3,) int32 — (base, sweep, color/stream) components
     t_ref,           # SMEM (1,) f32 — temperature
     other_ref,       # VMEM (BR, C2) opposite-color center block
     up_ref,          # VMEM (8, C2) halo tile; row 0 = row above the block
@@ -72,9 +72,11 @@ def _halfsweep_kernel(
     else:
         (out_ref,) = rest
         i = pl.program_id(0)
-        # Distinct stream per (seed, block); the caller folds sweep and color
-        # indices into the seed so no two half-sweeps share a stream.
-        pltpu.prng_seed(seed_ref[0] + i)
+        # Distinct stream per (base, sweep, color, block): the components are
+        # HASHED together by prng_seed, not added — additive schedules let
+        # adjacent (seed, sweep) pairs replay identical streams shifted by
+        # one step ((s+1)+k == s+(k+1), r2 advisor finding).
+        pltpu.prng_seed(seed_ref[0], seed_ref[1], seed_ref[2], i)
 
     other = other_ref[:]
     BR, C2 = other.shape
@@ -148,6 +150,10 @@ def halfsweep_pallas(
     """One color update given the opposite plane and its external halo rows.
 
     Args:
+        seed: int32 PRNG stream id — a scalar, or a vector of up to 3
+            components (e.g. ``[base, sweep, color]``) hashed together with
+            the block index in-kernel so no two half-sweeps anywhere share a
+            stream.
         other: (R, C2) opposite-color plane (local shard or full lattice).
         up_row: (1, C2) vertical neighbor of local row 0 (wrap row, ppermute'd
             neighbor row, or zeros for an open boundary).
@@ -185,8 +191,10 @@ def halfsweep_pallas(
         pl.BlockSpec((8, C2), lambda i: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((8, C2), lambda i: (i, 0), memory_space=pltpu.VMEM),
     ]
+    seed = jnp.asarray(seed, dtype=jnp.int32).reshape(-1)
+    seed = jnp.concatenate([seed, jnp.zeros(3 - seed.shape[0], jnp.int32)])
     inputs = [
-        jnp.asarray(seed, dtype=jnp.int32).reshape(1),
+        seed,
         jnp.asarray(temperature, dtype=jnp.float32).reshape(1),
         other,
         up_rows,
@@ -253,30 +261,30 @@ def checkerboard_sweeps_planes_pallas(
 ):
     """n_sweeps full red/black sweeps via the Pallas kernel (single device).
 
-    ``seed`` is an int32 scalar; sweep and color indices are folded in so
-    every half-sweep draws from a fresh stream. ``uniforms``: optional
+    ``seed`` is an int32 scalar; sweep and color indices are hashed in by
+    the kernel's multi-component ``prng_seed`` so every half-sweep draws
+    from a fresh stream. ``uniforms``: optional
     (n_sweeps, 2, R, C2) int32 in [0, 2^24) replacing the hardware PRNG
     ([s, 0] feeds the red update of sweep s, [s, 1] the black update) —
     deterministic mode for CI equality tests.
     """
     seed = jnp.asarray(seed, dtype=jnp.int32)
-    R, C2 = red.shape
-    nblocks = R // (block_rows or pick_block_rows(R, C2, red.dtype.itemsize))
 
     def body(carry, inp):
         red, black = carry
         sweep_idx, u = inp
-        base = seed + sweep_idx * (2 * nblocks)
         up, down = _wrap_halos(black, periodic)
         red = halfsweep_pallas(
-            base, temperature, black, up, down,
+            jnp.stack([seed, sweep_idx, jnp.int32(0)]),
+            temperature, black, up, down,
             update_red=True, J=J, field=field, periodic=periodic,
             interpret=interpret, u24=None if u is None else u[0],
             block_rows=block_rows,
         )
         up, down = _wrap_halos(red, periodic)
         black = halfsweep_pallas(
-            base + nblocks, temperature, red, up, down,
+            jnp.stack([seed, sweep_idx, jnp.int32(1)]),
+            temperature, red, up, down,
             update_red=False, J=J, field=field, periodic=periodic,
             interpret=interpret, u24=None if u is None else u[1],
             block_rows=block_rows,

@@ -189,7 +189,12 @@ def sharded_checkerboard_sweeps(
             f"compact columns must divide evenly: C/2={C2}, "
             f"shards={mesh.shape[col_axis]}"
         )
-    assert uniforms is None or use_pallas, "uniforms require the pallas path"
+    # Injected uniforms are consumed only by the Pallas row-sharded kernel;
+    # the XLA and 2-D-mesh paths would silently ignore them (r2 advisor
+    # finding), so reject those combinations loudly.
+    assert uniforms is None or (use_pallas and col_axis is None), (
+        "uniforms require the pallas path (row sharding only)"
+    )
     spec = P(axis_name, col_axis)
     uspec = P(None, None, axis_name, None)
     local_halfstep = _make_local_halfstep(
@@ -207,17 +212,25 @@ def sharded_checkerboard_sweeps(
         shard = jax.lax.axis_index(axis_name)
         if col_axis is not None:
             shard = shard * jax.lax.axis_size(col_axis) + jax.lax.axis_index(col_axis)
+        # Pallas seed schedule: (base, sweep, shard*2+color) components hashed
+        # by the kernel's multi-arg prng_seed. The r2 additive schedule
+        # ((sweep*2 + shard*131) * 65537) collided across shards once sweep
+        # counts passed ~65: shard s at sweep i and shard s' at sweep
+        # i + 65.5*(s'-s) replayed identical streams.
+        base = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
         key = jax.random.fold_in(key, shard)
 
         def body(carry, inp):
             red_l, black_l = carry
             sweep_idx, k, u = inp
             k_r, k_b = jax.random.split(k)
-            seed0 = (sweep_idx * 2 + shard * 131) * jnp.int32(65_537)
-            red_l = local_halfstep(k_r, seed0, black_l, True,
-                                   None if u is None else u[0])
-            black_l = local_halfstep(k_b, seed0 + 65_537, red_l, False,
-                                     None if u is None else u[1])
+            sc = shard * 2
+            red_l = local_halfstep(
+                k_r, jnp.stack([base, sweep_idx, sc]), black_l, True,
+                None if u is None else u[0])
+            black_l = local_halfstep(
+                k_b, jnp.stack([base, sweep_idx, sc + 1]), red_l, False,
+                None if u is None else u[1])
             return (red_l, black_l), None
 
         keys = jax.random.split(key, n_sweeps)
@@ -290,6 +303,9 @@ def sharded_lattice_sample(
         shard = jax.lax.axis_index(axis_name)
         if col_axis is not None:
             shard = shard * jax.lax.axis_size(col_axis) + jax.lax.axis_index(col_axis)
+        # Hashed (base, sweep, shard*2+color) schedule — see
+        # sharded_checkerboard_sweeps.
+        base = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
         key = jax.random.fold_in(key, shard)
 
         def sweeps(carry, step_base, k, n):
@@ -297,9 +313,11 @@ def sharded_lattice_sample(
                 red_l, black_l = c
                 i, kk = inp
                 k_r, k_b = jax.random.split(kk)
-                seed0 = (i * 2 + shard * 131) * jnp.int32(65_537)
-                red_l = local_halfstep(k_r, seed0, black_l, True)
-                black_l = local_halfstep(k_b, seed0 + 65_537, red_l, False)
+                sc = shard * 2
+                red_l = local_halfstep(
+                    k_r, jnp.stack([base, i, sc]), black_l, True)
+                black_l = local_halfstep(
+                    k_b, jnp.stack([base, i, sc + 1]), red_l, False)
                 return (red_l, black_l), None
 
             idxs = step_base + jnp.arange(n)

@@ -24,12 +24,15 @@ from tsu_tpu.samplers.gibbs import (
 
 
 def make_schedule(T_initial: float, T_final: float, n_steps: int, kind: str = "exponential"):
-    """Temperature schedule array (n_steps,) (cf. tsu/gibbs.py:370-379)."""
-    t = jnp.arange(n_steps) / max(n_steps - 1, 1)
+    """Temperature schedule array (n_steps,) (cf. tsu/gibbs.py:370-379).
+
+    Built host-side (NumPy): schedules feed both the compiled scan and the
+    native host SA loop, and must not cost a device round-trip."""
+    t = np.arange(n_steps, dtype=np.float32) / max(n_steps - 1, 1)
     if kind == "exponential":
-        return T_initial * (T_final / T_initial) ** t
+        return np.float32(T_initial) * np.float32(T_final / T_initial) ** t
     if kind == "linear":
-        return T_initial + (T_final - T_initial) * t
+        return np.float32(T_initial) + np.float32(T_final - T_initial) * t
     raise ValueError(f"unknown cooling schedule {kind!r}")
 
 
@@ -72,9 +75,36 @@ def simulated_annealing_dense(
     all chains and steps (cf. tsu/gibbs.py:340-393).
 
     All chains advance together through colored block sweeps — one compiled
-    scan over the temperature schedule, batched matmul local fields."""
+    scan over the temperature schedule, batched matmul local fields.
+
+    ``key`` may be a jax PRNG key or a plain integer seed. Small problems
+    (n_vars <= 256 and modest total work) with an integer seed route to the
+    native C++ host loop: a single tunneled-accelerator dispatch costs
+    ~50 ms round-trip, more than the whole anneal (r2: maxcut rows timed
+    dispatch latency, not annealing).
+    """
+    J_np = np.asarray(J, np.float32)
+    n = J_np.shape[0]
+    small = (n <= 256
+             and n * n * n_steps * max(n_chains, 1) <= (1 << 31))
+    if small and isinstance(key, (int, np.integer)):
+        from tsu_tpu.native import sa_dense_native
+
+        schedule_np = np.asarray(
+            make_schedule(T_initial, T_final, n_steps, cooling_schedule)
+        )
+        out = sa_dense_native(J_np, np.asarray(h, np.float32), schedule_np,
+                              n_chains, int(key))
+        if out is not None:
+            # Host arrays out: wrapping in jnp.asarray would ship the result
+            # to the accelerator only for the caller to fetch it back.
+            return out[0], np.float32(out[1])
+    if isinstance(key, (int, np.integer)):
+        from tsu_tpu.rng import as_key
+
+        key = as_key(int(key))
     schedule = make_schedule(T_initial, T_final, n_steps, cooling_schedule)
-    colors = jnp.asarray(color_groups(np.asarray(J)))
+    colors = jnp.asarray(color_groups(J_np))
     return _sa_dense_scan(
         key, jnp.asarray(J, jnp.float32), jnp.asarray(h, jnp.float32),
         colors, schedule, n_steps=n_steps, n_chains=n_chains,

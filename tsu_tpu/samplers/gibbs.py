@@ -36,6 +36,19 @@ from tsu_tpu.config import GibbsConfig, SamplingError
 from tsu_tpu.rng import as_key
 
 
+def _host_device_ctx(want_host: bool):
+    """``jax.default_device(cpu)`` context when ``want_host`` and a CPU
+    backend exists beside the accelerator; null context otherwise."""
+    import contextlib
+
+    if want_host and jax.default_backend() != "cpu":
+        try:
+            return jax.default_device(jax.local_devices(backend="cpu")[0])
+        except RuntimeError:
+            pass
+    return contextlib.nullcontext()
+
+
 def _site_update(i, state, J, h, temperature, u):
     """Heat-bath update of one site given a uniform draw u."""
     field = J[i] @ state + h[i] - J[i, i] * state[i]
@@ -137,12 +150,19 @@ def blocked_sweeps(key, states, J, h, temperature, colors, n_sweeps: int,
     T = jnp.asarray(temperature, jnp.float32)
     T = T[:, None] if T.ndim == 1 else T
 
-    # Per-color constants, hoisted out of the scan (axis-0 gathers, cheap):
-    rows_all = J_ext[colors]          # (n_colors, gmax, n+1)
-    h_all = h_ext[colors]             # (n_colors, gmax)
-    d_all = diag_ext[colors]          # (n_colors, gmax)
-    onehot_all = jax.nn.one_hot(colors, n + 1, dtype=states.dtype)
-    memb_all = jnp.clip(onehot_all.sum(axis=1), 0.0, 1.0)  # (n_colors, n+1)
+    def apply_color(state, rows, hc, dc, onehot, memb, u):
+        f = state @ rows.T + hc - dc[None, :] * (state @ onehot.T)
+        p = jax.nn.sigmoid(f / T)
+        new = jnp.where(u < p, 1.0, 0.0).astype(state.dtype)
+        return state * (1.0 - memb) + new @ onehot
+
+    # Per-color constants can be hoisted out of the scan (axis-0 gathers,
+    # cheap) — but the hoisted tables are (n_colors, gmax, n+1), and gmax is
+    # the LARGEST group, so a skewed coloring (small clique + big independent
+    # set: n_colors ~ k, gmax ~ n) would materialize ~k*n*n floats, far more
+    # than J itself. Above a ~64 MB table budget, gather per color inside the
+    # scan body instead (one (gmax, n+1) gather per color step).
+    hoist = n_colors * gmax * (n + 1) <= (1 << 24)
 
     def one_sweep(state, k):
         if random_order:
@@ -152,18 +172,32 @@ def blocked_sweeps(key, states, J, h, temperature, colors, n_sweeps: int,
             perm = jnp.arange(n_colors)
         us = jax.random.uniform(k, (n_colors, chains, gmax))
 
-        def color_body(state, inp):
-            rows, hc, dc, onehot, memb, u = inp
-            f = state @ rows.T + hc - dc[None, :] * (state @ onehot.T)
-            p = jax.nn.sigmoid(f / T)
-            new = jnp.where(u < p, 1.0, 0.0).astype(state.dtype)
-            state = state * (1.0 - memb) + new @ onehot
-            return state, None
+        if hoist:
+            def color_body(state, inp):
+                rows, hc, dc, onehot, memb, u = inp
+                return apply_color(state, rows, hc, dc, onehot, memb, u), None
 
-        xs = (rows_all[perm], h_all[perm], d_all[perm], onehot_all[perm],
-              memb_all[perm], us)
+            xs = (rows_all[perm], h_all[perm], d_all[perm], onehot_all[perm],
+                  memb_all[perm], us)
+        else:
+            def color_body(state, inp):
+                c, u = inp
+                onehot = jax.nn.one_hot(c, n + 1, dtype=state.dtype)
+                memb = jnp.clip(onehot.sum(axis=0), 0.0, 1.0)
+                return apply_color(
+                    state, J_ext[c], h_ext[c], diag_ext[c], onehot, memb, u
+                ), None
+
+            xs = (colors[perm], us)
         state, _ = jax.lax.scan(color_body, state, xs)
         return state, None
+
+    if hoist:
+        rows_all = J_ext[colors]          # (n_colors, gmax, n+1)
+        h_all = h_ext[colors]             # (n_colors, gmax)
+        d_all = diag_ext[colors]          # (n_colors, gmax)
+        onehot_all = jax.nn.one_hot(colors, n + 1, dtype=states.dtype)
+        memb_all = jnp.clip(onehot_all.sum(axis=1), 0.0, 1.0)  # (n_colors, n+1)
 
     ext, _ = jax.lax.scan(one_sweep, ext, jax.random.split(key, n_sweeps))
     return ext[:, :n]
@@ -192,6 +226,67 @@ def _dense_gibbs_blocked(
     return samples
 
 
+@partial(jax.jit, static_argnames=("n_samples",))
+def _iid_bernoulli_sample(key, h, temperature, x0, *, n_samples: int):
+    """(chains, n_samples, n) exact iid draws for a coupling-free model.
+
+    When J has no off-diagonal structure the heat-bath conditional of every
+    bit is P(b_i=1) = sigmoid(h_i / T) independent of the rest of the state
+    (the J_ii terms cancel in the local field, tsu/gibbs.py:79-100), so the
+    chain forgets its state after one sweep and the target factorizes: one
+    vectorized Bernoulli draw replaces the whole burn-in/thinning machinery,
+    exactly. This removes the reference's only remaining throughput win
+    (uniform_binary, tsu/benchmarks/sampling.py:98-163) and the deep-scan
+    compile corner it triggered (r2 weakness #2: a 241 s TPU compile for a
+    single-bit model).
+    """
+    chains = x0.shape[0]
+    n = h.shape[0]
+    p = jax.nn.sigmoid(h / jnp.asarray(temperature, jnp.float32))
+    return jax.random.bernoulli(key, p, (chains, n_samples, n)).astype(jnp.float32)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_samples", "n_burnin", "n_sweeps", "random_order"),
+)
+def _dense_gibbs_sequential(
+    key, J, h, x0, *,
+    n_samples: int, temperature, n_burnin: int, n_sweeps: int,
+    random_order: bool,
+):
+    """(n_samples, chains, n) site-ordered-scan Gibbs draws.
+
+    The exact Markov chain of the reference's per-bit loop
+    (tsu/gibbs.py:128-162): sites visited one at a time in index order
+    (``random_order=True``: a fresh random permutation per sweep,
+    tsu/gibbs.py:155-156), vmapped over chains. Same invariant distribution
+    as the colored engine, different (slower) chain — kept for exact
+    reference-semantics parity; the colored engine is the fast path.
+    """
+    chains = x0.shape[0]
+
+    def chain_sweeps(k, state, n):
+        return gibbs_sweeps.__wrapped__(
+            k, state, J, h, temperature, n, random_order
+        )
+
+    def sweep_all(k, states, n):
+        return jax.vmap(lambda kk, s: chain_sweeps(kk, s, n))(
+            jax.random.split(k, chains), states
+        )
+
+    k_burn, k_main = jax.random.split(key)
+    states = sweep_all(k_burn, x0, max(n_burnin, 1)) if n_burnin else x0
+
+    def collect(states, k):
+        states = sweep_all(k, states, n_sweeps)
+        return states, states
+
+    _, samples = jax.lax.scan(collect, states, jax.random.split(k_main, n_samples))
+    return samples
+
+
 def dense_gibbs_sample(
     key,
     J,
@@ -203,20 +298,42 @@ def dense_gibbs_sample(
     n_burnin: int = 100,
     n_sweeps: int = 10,
     random_order: bool = False,
+    sequential: bool = False,
 ):
     """Boltzmann sampling on dense J: (n_chains, n_samples, n) bit samples.
 
     Host wrapper: colors the concrete coupling graph once, then runs the
     whole job — burn-in, thinning, collection, all chains — as a single XLA
-    computation (cf. tsu/gibbs.py:164-213's Python loops).
+    computation (cf. tsu/gibbs.py:164-213's Python loops). A coupling-free J
+    (one color) short-circuits to one exact vectorized Bernoulli draw.
+    ``sequential=True`` runs the site-ordered-scan chain instead of colored
+    blocks (exact reference chain semantics; same invariant distribution).
     """
     x0 = jnp.atleast_2d(jnp.asarray(x0, dtype=jnp.float32))
+    h = jnp.asarray(h, jnp.float32)
     colors = jnp.asarray(color_groups(np.asarray(J)))
-    samples = _dense_gibbs_blocked(
-        key, jnp.asarray(J, jnp.float32), jnp.asarray(h, jnp.float32), x0,
-        colors, n_samples=n_samples, temperature=temperature,
-        n_burnin=n_burnin, n_sweeps=n_sweeps, random_order=random_order,
-    )
+    if colors.shape[0] == 1:
+        # Tiny coupling-free problems are latency-bound, not compute-bound:
+        # one Bernoulli draw is ~us of work, but a tunneled-TPU dispatch
+        # costs ~50 ms round-trip (r2: 33 k samples/s on a dim-1 model).
+        # Route them to the host CPU device — "minimise host<->device
+        # transfers" means not shipping 2 KB to an accelerator at all.
+        total = x0.shape[0] * n_samples * h.shape[0]
+        with _host_device_ctx(total < (1 << 22)):
+            return _iid_bernoulli_sample(key, h, temperature, x0,
+                                         n_samples=n_samples)
+    if sequential:
+        samples = _dense_gibbs_sequential(
+            key, jnp.asarray(J, jnp.float32), h, x0,
+            n_samples=n_samples, temperature=temperature,
+            n_burnin=n_burnin, n_sweeps=n_sweeps, random_order=random_order,
+        )
+    else:
+        samples = _dense_gibbs_blocked(
+            key, jnp.asarray(J, jnp.float32), h, x0,
+            colors, n_samples=n_samples, temperature=temperature,
+            n_burnin=n_burnin, n_sweeps=n_sweeps, random_order=random_order,
+        )
     return jnp.swapaxes(samples, 0, 1)
 
 
@@ -232,12 +349,16 @@ class GibbsSampler:
 
     def __init__(self, config: Optional[GibbsConfig] = None, seed: Optional[int] = None):
         self.config = config or GibbsConfig()
-        self._key = as_key(seed)
+        # Keys are derived from a HOST-side generator rather than a device
+        # key chain: jax.random.split on a tunneled accelerator costs a
+        # ~50 ms round-trip per call, which dominated small-problem sampling
+        # (r2 weakness #2). jax.random.key(int) is a deferred op on whatever
+        # device the consumer runs on. Reproducible: seed -> PCG64 stream.
+        self._seed_rng = np.random.default_rng(seed)
         self.sample_count = 0
 
     def _next_key(self):
-        self._key, sub = jax.random.split(self._key)
-        return sub
+        return jax.random.key(int(self._seed_rng.integers(0, 2**63 - 1)))
 
     # -- low-level parity methods (tsu/gibbs.py:61-126) ---------------------
 
@@ -290,30 +411,42 @@ class GibbsSampler:
         if n_samples <= 0:
             raise SamplingError(f"n_samples must be positive, got {n_samples}")
 
-        # update_order semantics on the colored engine:
-        #   "sequential"/"checkerboard" — deterministic color order (a
-        #   systematic sweep; "checkerboard" IS the coloring, generalized
-        #   to arbitrary dense graphs);
-        #   "random" — color order re-permuted every sweep.
+        # update_order routing (r2 weakness #6: the old docstring claimed
+        # "sequential" matched reference chain semantics while this method
+        # always ran colored blocks):
+        #   "checkerboard" — colored block sweeps (the TPU-native fast path;
+        #     the coloring IS the checkerboard, generalized to dense graphs);
+        #   "sequential" — true site-ordered scan, the exact Markov chain of
+        #     tsu/gibbs.py:153-158 (vmapped over chains);
+        #   "random" — site order re-permuted every sweep
+        #     (tsu/gibbs.py:155-156).
+        # All three share the same invariant distribution; a coupling-free J
+        # short-circuits to one exact Bernoulli draw regardless of order.
         cfg = self.config
         n_chains = cfg.n_chains
         per_chain = -(-n_samples // n_chains)
-        key = self._next_key()
-        if initial_state is not None:
-            x0 = jnp.tile(jnp.asarray(initial_state, dtype=jnp.float32), (n_chains, 1))
-        else:
-            x0 = jax.random.bernoulli(
-                jax.random.fold_in(key, 0), 0.5, (n_chains, n)
-            ).astype(jnp.float32)
-        samples = dense_gibbs_sample(
-            jax.random.fold_in(key, 1),
-            jnp.asarray(J), jnp.asarray(h), x0,
-            n_samples=per_chain,
-            temperature=cfg.temperature,
-            n_burnin=cfg.n_burnin,
-            n_sweeps=cfg.n_sweeps,
-            random_order=cfg.update_order == "random",
-        )
+        # Coupling-free models route to the host device end-to-end (keys,
+        # init, draw) — see dense_gibbs_sample's iid fast path.
+        iid = color_groups(J).shape[0] == 1
+        with _host_device_ctx(iid and n_chains * per_chain * n < (1 << 22)):
+            key = self._next_key()
+            if initial_state is not None:
+                x0 = jnp.tile(jnp.asarray(initial_state, dtype=jnp.float32),
+                              (n_chains, 1))
+            else:
+                x0 = jax.random.bernoulli(
+                    jax.random.fold_in(key, 0), 0.5, (n_chains, n)
+                ).astype(jnp.float32)
+            samples = dense_gibbs_sample(
+                jax.random.fold_in(key, 1),
+                jnp.asarray(J), jnp.asarray(h), x0,
+                n_samples=per_chain,
+                temperature=cfg.temperature,
+                n_burnin=cfg.n_burnin,
+                n_sweeps=cfg.n_sweeps,
+                random_order=cfg.update_order == "random",
+                sequential=cfg.update_order in ("sequential", "random"),
+            )
         out = np.asarray(samples).transpose(1, 0, 2).reshape(-1, n)[:n_samples]
         self.sample_count += n_samples
         return out
@@ -380,11 +513,12 @@ class GibbsSampler:
         """
         from tsu_tpu.samplers.annealing import simulated_annealing_dense
 
-        J = jnp.asarray(coupling, dtype=jnp.float32)
+        J = np.asarray(coupling, dtype=np.float32)
         n = J.shape[0]
-        h = jnp.zeros(n) if bias is None else jnp.asarray(bias, dtype=jnp.float32)
+        h = (np.zeros(n, np.float32) if bias is None
+             else np.asarray(bias, dtype=np.float32))
         best_state, best_energy = simulated_annealing_dense(
-            self._next_key(), J, h,
+            int(self._seed_rng.integers(0, 2**63 - 1)), J, h,
             T_initial=T_initial, T_final=T_final,
             n_steps=n_steps, cooling_schedule=cooling_schedule,
             n_chains=self.config.n_chains,
