@@ -118,3 +118,88 @@ def test_pallas_under_sharding_statistics():
     e = float(lattice_energy_batch(lat)) / (R * C)
     assert abs(m) < 0.1          # disordered at T=3
     assert -0.9 < e < -0.7       # e/site ~ -0.78 at T=3
+
+
+@pytest.mark.tpu
+def test_pallas_under_sharding_moments_match_xla():
+    """Row-sharded shard_map + Pallas kernel + HARDWARE PRNG on a 1-shard
+    TPU mesh: <|m|> and <e> must match the unsharded XLA path within MC
+    error (r2 verdict #7 — the exact-equality sharded test runs injected
+    uniforms only; this exercises ppermute + halfsweep_pallas + prng_seed
+    together on the chip)."""
+    from tsu_tpu.ops.checkerboard import (
+        checkerboard_sweeps_planes,
+        lattice_energy_batch,
+        merge_checkerboard,
+        split_checkerboard,
+    )
+    from tsu_tpu.parallel import make_mesh
+    from tsu_tpu.parallel.lattice import sharded_checkerboard_sweeps
+
+    R = C = 128
+    T = 3.0
+    n_samp = 60
+    mesh = make_mesh(rows=1, devices=jax.devices()[:1])
+    planes0 = split_checkerboard(jnp.ones((R, C), jnp.float32))
+
+    def collect(step):
+        red, black = step(0, *planes0, 30)
+        ms, es = [], []
+        for i in range(1, n_samp + 1):
+            red, black = step(i, red, black, 2)
+            lat = merge_checkerboard(jnp.asarray(red), jnp.asarray(black))
+            ms.append(float(jnp.mean(lat)))
+            es.append(float(lattice_energy_batch(lat)) / (R * C))
+        return np.abs(ms).mean(), np.mean(es)
+
+    def sharded_step(i, red, black, n):
+        return sharded_checkerboard_sweeps(
+            mesh, jax.random.fold_in(jax.random.key(11), i), red, black,
+            T, n, periodic=True, use_pallas=True,
+        )
+
+    def xla_step(i, red, black, n):
+        return checkerboard_sweeps_planes(
+            jax.random.fold_in(jax.random.key(7), i), red, black, T, n,
+            J=1.0, field=0.0, periodic=True,
+        )
+
+    m_s, e_s = collect(sharded_step)
+    m_x, e_x = collect(xla_step)
+    assert m_s == pytest.approx(m_x, abs=0.02)
+    assert e_s == pytest.approx(e_x, abs=0.03)
+
+
+@pytest.mark.tpu
+def test_seed_schedule_streams_decorrelated():
+    """The (base, sweep, color) seed components must yield independent PRNG
+    streams. At T -> inf the output spin is literally one bit of each site's
+    uniform, so pairwise plane correlations estimate stream correlation
+    directly. Regression test for the r2 additive schedules, where
+    (seed s+1, sweep k) replayed (seed s, sweep k+1) and shards collided
+    after ~65 sweeps (ADVICE r2 #4, VERDICT r2 weak #7)."""
+    from tsu_tpu.ops.checkerboard_pallas import halfsweep_pallas
+
+    R, C2 = 128, 64
+    other = jnp.ones((R, C2), jnp.float32)
+    up, down = other[-1:, :], other[:1, :]
+
+    def plane(base, sweep, color):
+        out = halfsweep_pallas(
+            jnp.asarray([base, sweep, color], jnp.int32), 1e9, other, up,
+            down, update_red=True, J=1.0, field=0.0, periodic=True,
+        )
+        return np.asarray(out).ravel()
+
+    # Pairs that collided under the old arithmetic schedules, plus controls.
+    combos = [(0, 0, 0), (0, 0, 1), (0, 1, 0), (1, 0, 0), (0, 66, 0),
+              (131, 0, 0), (65537, 0, 0)]
+    planes = [plane(*c) for c in combos]
+    n = planes[0].size
+    for a in range(len(planes)):
+        for b in range(a + 1, len(planes)):
+            corr = float(np.mean(planes[a] * planes[b]))
+            # MC error ~ 1/sqrt(8192) ~ 0.011; identical streams give 1.0.
+            assert abs(corr) < 0.06, (combos[a], combos[b], corr)
+    # Determinism: the same seed vector replays the same stream.
+    assert np.array_equal(planes[0], plane(0, 0, 0))

@@ -36,6 +36,47 @@ def _sync(x):
     np.asarray(jax.tree.leaves(x)[0])[:1]
 
 
+def _shared_host() -> bool:
+    """True when the visible "devices" are virtual shards of ONE host CPU
+    (xla_force_host_platform_device_count): a single-device run already
+    saturates every physical core, so the meaningful weak-scaling ideal is
+    the single-device throughput itself, not n_dev times it (r2 verdict #5:
+    the x8 ideal produced a meaningless 0.32 "efficiency" artifact)."""
+    return jax.default_backend() == "cpu" and jax.process_count() == 1
+
+
+def _efficiency(single_tput: float, all_tput: float, n_dev: int) -> dict:
+    """Weak-scaling efficiency with the ideal stated honestly per topology.
+
+    On a shared-host virtual mesh NO ideal is clean — the 1-device baseline
+    may under- or over-use the shared cores relative to the 8-shard run — so
+    ``efficiency`` is reported null with both raw ratios, and the artifact
+    exists to validate the mechanics (sharding, collectives, measurement),
+    not to claim a scaling number. Real efficiency rows need distinct chips
+    (scripts/pod_scaling.sh).
+    """
+    if n_dev <= 1:
+        return {"efficiency": 1.0, "ideal": "single_device"}
+    ratios = {
+        "aggregate_vs_single_device": all_tput / single_tput,
+        "aggregate_vs_ndev_x_single": all_tput / (single_tput * n_dev),
+    }
+    if _shared_host():
+        return {
+            "efficiency": None,
+            "ideal": "not measurable on a shared-host virtual mesh (the "
+                     "n-shard and 1-device runs contend for the same "
+                     "physical cores); see ratios and scripts/pod_scaling.sh",
+            **ratios,
+        }
+    return {
+        "efficiency": ratios["aggregate_vs_ndev_x_single"],
+        "ideal": "n_devices x single_device, constant per-device work "
+                 "(weak scaling, distinct chips)",
+        **ratios,
+    }
+
+
 def measure_chains_scaling(
     dim: int = 10,
     chains_per_device: int = 1024,
@@ -74,10 +115,8 @@ def measure_chains_scaling(
             "time_s": dt,
         }
     n_dev = results["all_devices"]["n_devices"]
-    ideal = results["1_device"]["samples_per_s"] * n_dev
-    results["efficiency"] = (
-        results["all_devices"]["samples_per_s"] / ideal if n_dev > 1 else 1.0
-    )
+    results.update(_efficiency(results["1_device"]["samples_per_s"],
+                               results["all_devices"]["samples_per_s"], n_dev))
     return results
 
 
@@ -120,29 +159,44 @@ def measure_lattice_scaling(
             "time_s": dt,
         }
     n_dev = results["all_devices"]["n_devices"]
-    # Weak scaling: per-device problem size constant, ideal = n_dev * single.
-    ideal = results["1_device"]["flips_per_s"] * n_dev
-    results["efficiency"] = (
-        results["all_devices"]["flips_per_s"] / ideal if n_dev > 1 else 1.0
-    )
+    # Weak scaling: per-device problem size constant.
+    results.update(_efficiency(results["1_device"]["flips_per_s"],
+                               results["all_devices"]["flips_per_s"], n_dev))
     return results
 
 
 def main():
+    import argparse
     import json
+    import os
 
-    print(json.dumps({
+    parser = argparse.ArgumentParser(description="scaling-efficiency rows")
+    parser.add_argument("--output-dir", default=None,
+                        help="also write scaling_<backend><n>.json here")
+    args = parser.parse_args()
+
+    backend = jax.default_backend()
+    result = {
         "topology": {
-            "backend": jax.default_backend(),
+            "backend": backend,
             "n_devices": len(jax.devices()),
             "n_hosts": jax.process_count(),
+            "shared_host_virtual_mesh": _shared_host(),
         },
         "chains": measure_chains_scaling(),
         "lattice": measure_lattice_scaling(
-            rows_per_device=256 if jax.default_backend() != "tpu" else 1024,
-            cols=1024 if jax.default_backend() != "tpu" else 4096,
+            rows_per_device=256 if backend != "tpu" else 1024,
+            cols=1024 if backend != "tpu" else 4096,
         ),
-    }, indent=2, default=float))
+    }
+    print(json.dumps(result, indent=2, default=float))
+    if args.output_dir:
+        os.makedirs(args.output_dir, exist_ok=True)
+        out = os.path.join(
+            args.output_dir, f"scaling_{backend}{len(jax.devices())}.json")
+        with open(out, "w") as f:
+            json.dump(result, f, indent=2, default=float)
+        print(f"wrote {out}")
 
 
 if __name__ == "__main__":

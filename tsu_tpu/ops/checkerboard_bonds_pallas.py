@@ -28,13 +28,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tsu_tpu.ops.checkerboard_pallas import pick_block_rows
+from tsu_tpu.ops.checkerboard_pallas import fold_seed, pick_block_rows
 
 _U24_SCALE = 1.0 / 16777216.0
 
 
 def _halfsweep_bonds_kernel(
-    seed_ref,     # SMEM (3,) int32 — (base, sweep, color) components
+    seed_ref,     # SMEM (1,) int32 — folded stream id (see fold_seed)
     t_ref,        # SMEM (1,) f32
     other_ref,    # VMEM (BR, C2) opposite-color center block
     up_ref,       # VMEM (8, C2) halo tile; row 0 = row above the block
@@ -53,9 +53,9 @@ def _halfsweep_bonds_kernel(
     else:
         (out_ref,) = rest
         i = pl.program_id(0)
-        # Hash (base, sweep, color, block) — never additive (see
-        # checkerboard_pallas._halfsweep_kernel).
-        pltpu.prng_seed(seed_ref[0], seed_ref[1], seed_ref[2], i)
+        # (folded components, block) — folding via fold_seed, never additive
+        # (see checkerboard_pallas._halfsweep_kernel).
+        pltpu.prng_seed(seed_ref[0], i)
 
     other = other_ref[:].astype(jnp.float32)
     BR, C2 = other.shape
@@ -129,7 +129,7 @@ def halfsweep_bonds_pallas(
         blk, blk, blk, blk, blk,
     ]
     seed = jnp.asarray(seed, dtype=jnp.int32).reshape(-1)
-    seed = jnp.concatenate([seed, jnp.zeros(3 - seed.shape[0], jnp.int32)])
+    seed = fold_seed(*[seed[i] for i in range(seed.shape[0])]).reshape(1)
     inputs = [
         seed,
         jnp.asarray(temperature, dtype=jnp.float32).reshape(1),

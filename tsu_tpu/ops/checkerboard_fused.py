@@ -134,7 +134,7 @@ def _horiz(other_f32, row_is_even, update_red, periodic):
 
 
 def _fused_sweep_kernel(
-    seed_ref,        # SMEM (2,) int32 — (base seed, sweep index)
+    seed_ref,        # SMEM (1,) int32 — folded (base, sweep) stream id
     table_ref,       # SMEM (9,) int32 heat-bath thresholds (see sigmoid_table)
     black_ref,       # VMEM (BR, C2) black center band
     up_ref,          # VMEM (8, C2): rows 0,1 = black rows i*BR-2, i*BR-1
@@ -174,16 +174,17 @@ def _fused_sweep_kernel(
         # conditions on exactly the stored red plane. (Per-band seeding
         # would *re-draw* those rows with fresh uniforms — a subtle
         # detailed-balance violation at two rows per band boundary.)
-        # The sweep index is a SEPARATE prng_seed component, not added to
-        # the seed: an additive schedule would let adjacent integer seeds s,
-        # s+1 replay identical streams shifted by one sweep (r2 advisor
-        # finding). One 32-bit draw per site feeds BOTH color updates
-        # (lo16 -> red, hi16 -> black).
+        # The sweep index is FOLDED into the seed with fold_seed's avalanche
+        # hash (outside the kernel), never added: an additive schedule would
+        # let adjacent integer seeds s, s+1 replay identical streams shifted
+        # by one sweep (r2 advisor finding). Mosaic caps prng_seed at two
+        # values, so the second slot carries the row group. One 32-bit draw
+        # per site feeds BOTH color updates (lo16 -> red, hi16 -> black).
         gpb = BR // 8  # row groups per band (BR divisible by 8)
         draws = []
         for j in range(gpb + 2):
             g = (i * gpb - 1 + j) % (nb * gpb)
-            pltpu.prng_seed(seed_ref[0], seed_ref[1], g)
+            pltpu.prng_seed(seed_ref[0], g)
             draws.append(pltpu.prng_random_bits((8, C2)))
         # Row 0 of buf = global row i*BR - 8.
         buf = pltpu.bitcast(jnp.concatenate(draws, axis=0), jnp.uint32)
@@ -312,8 +313,10 @@ def fused_sweep_pallas(
         pl.BlockSpec((8, C2), lambda i: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((8, C2), lambda i: (i, 0), memory_space=pltpu.VMEM),
     ]
+    from tsu_tpu.ops.checkerboard_pallas import fold_seed
+
     seed = jnp.asarray(seed, dtype=jnp.int32).reshape(-1)
-    seed = jnp.concatenate([seed, jnp.zeros(2 - seed.shape[0], jnp.int32)])
+    seed = fold_seed(*[seed[i] for i in range(seed.shape[0])]).reshape(1)
     inputs = [
         seed,
         sigmoid_table16(J, field, temperature),

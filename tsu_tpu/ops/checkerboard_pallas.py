@@ -36,6 +36,29 @@ from jax.experimental.pallas import tpu as pltpu
 _U24_SCALE = 1.0 / 16777216.0
 
 
+def fold_seed(*components) -> jax.Array:
+    """Mix int32 seed components into ONE int32 stream id (XLA-side).
+
+    Mosaic's ``prng_seed`` accepts at most two values on current TPUs, so
+    multi-part schedules (base, sweep, shard, color) are folded here with a
+    splitmix32-style avalanche chain and the kernel seeds with
+    ``prng_seed(folded, block_index)``. Never combine components by plain
+    addition: additive schedules let adjacent (seed, sweep) pairs replay
+    identical streams shifted by one step, and shard offsets collide once
+    sweep counts pass the stride (r2 advisor #4 / verdict weak #7).
+    """
+    h = jnp.uint32(0x9E3779B9)
+    for v in components:
+        x = jnp.asarray(v, jnp.int32).astype(jnp.uint32)
+        h = h + x
+        h = h ^ (h >> 16)
+        h = h * jnp.uint32(0x85EBCA6B)
+        h = h ^ (h >> 13)
+        h = h * jnp.uint32(0xC2B2AE35)
+        h = h ^ (h >> 16)
+    return h.astype(jnp.int32)
+
+
 def pick_block_rows(R: int, C2: int, itemsize: int = 4, vmem_budget: int = 2 * 2**20) -> int:
     """Largest even row-block dividing R whose block fits the VMEM budget.
 
@@ -51,7 +74,7 @@ def pick_block_rows(R: int, C2: int, itemsize: int = 4, vmem_budget: int = 2 * 2
 
 
 def _halfsweep_kernel(
-    seed_ref,        # SMEM (3,) int32 — (base, sweep, color/stream) components
+    seed_ref,        # SMEM (1,) int32 — folded stream id (see fold_seed)
     t_ref,           # SMEM (1,) f32 — temperature
     other_ref,       # VMEM (BR, C2) opposite-color center block
     up_ref,          # VMEM (8, C2) halo tile; row 0 = row above the block
@@ -72,11 +95,10 @@ def _halfsweep_kernel(
     else:
         (out_ref,) = rest
         i = pl.program_id(0)
-        # Distinct stream per (base, sweep, color, block): the components are
-        # HASHED together by prng_seed, not added — additive schedules let
-        # adjacent (seed, sweep) pairs replay identical streams shifted by
-        # one step ((s+1)+k == s+(k+1), r2 advisor finding).
-        pltpu.prng_seed(seed_ref[0], seed_ref[1], seed_ref[2], i)
+        # Distinct stream per (folded components, block). Mosaic hashes the
+        # two prng_seed values together; the caller pre-mixed (base, sweep,
+        # color) with fold_seed (Mosaic caps prng_seed at 2 values).
+        pltpu.prng_seed(seed_ref[0], i)
 
     other = other_ref[:]
     BR, C2 = other.shape
@@ -192,7 +214,7 @@ def halfsweep_pallas(
         pl.BlockSpec((8, C2), lambda i: (i, 0), memory_space=pltpu.VMEM),
     ]
     seed = jnp.asarray(seed, dtype=jnp.int32).reshape(-1)
-    seed = jnp.concatenate([seed, jnp.zeros(3 - seed.shape[0], jnp.int32)])
+    seed = fold_seed(*[seed[i] for i in range(seed.shape[0])]).reshape(1)
     inputs = [
         seed,
         jnp.asarray(temperature, dtype=jnp.float32).reshape(1),
