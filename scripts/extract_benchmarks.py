@@ -20,19 +20,24 @@ MARK_START = "<!-- BENCHMARK_RESULTS_START -->"
 MARK_END = "<!-- BENCHMARK_RESULTS_END -->"
 
 
-def load_results():
-    path = os.path.join(REPO, "visual_output", "benchmark_results.json")
-    results = None
-    if os.path.exists(path):
+def _load_json(path):
+    try:
         with open(path) as f:
-            results = json.load(f)
+            return json.load(f)
+    except Exception:
+        return None
+
+
+def load_results():
+    results = _load_json(os.path.join(REPO, "visual_output",
+                                      "benchmark_results.json"))
     headlines = []
     for p in sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json"))):
-        try:
-            with open(p) as f:
-                headlines.append((os.path.basename(p), json.load(f)))
-        except Exception:
-            pass
+        h = _load_json(p)
+        if h and "metric" not in h:
+            h = h.get("parsed")  # driver wrapper schema: {n, cmd, rc, parsed}
+        if h and h.get("value") is not None:
+            headlines.append((os.path.basename(p), h))
     return results, headlines
 
 
@@ -46,6 +51,14 @@ def render(results, headlines) -> str:
                 f"| {name} | {h.get('metric')} | {h.get('value'):.3e} "
                 f"{h.get('unit','')} | {h.get('vs_baseline', 0):.0f}x |"
             )
+        lines.append("")
+    kb = _load_json(os.path.join(REPO, "visual_output", "kernel_bench.json"))
+    if kb:
+        lines += ["## Kernel rows (bench.py, real TPU)", ""]
+        lines += ["| kernel | flips/s |", "|---|---|"]
+        for k, v in kb.items():
+            if isinstance(v, float):
+                lines.append(f"| {k} ({kb.get('size')}^2) | {v:.3e} |")
         lines.append("")
     if results:
         topo = results.get("topology", {})
@@ -65,6 +78,27 @@ def render(results, headlines) -> str:
                         "| " + " | ".join(str(row.get(k, "")) for k in keys) + " |"
                     )
             lines.append("")
+    for sc in sorted(glob.glob(os.path.join(REPO, "visual_output",
+                                            "scaling_*.json"))):
+        d = _load_json(sc)
+        if not d:
+            continue
+        topo = d.get("topology", {})
+        lines += [f"### scaling ({os.path.basename(sc)})", ""]
+        for row in ("chains", "lattice"):
+            r = d.get(row, {})
+            lines.append(
+                f"- {row}: efficiency={r.get('efficiency')} "
+                f"(ideal: {r.get('ideal', 'n/a')})"
+            )
+        lines.append("")
+    tpu_log = os.path.join(REPO, "visual_output", "tpu_test_log.txt")
+    if os.path.exists(tpu_log):
+        with open(tpu_log) as f:
+            tail = [ln.strip() for ln in f.readlines() if ln.strip()]
+        lines += ["### hardware kernel statistics (TSU_TEST_TPU=1)", "",
+                  f"- {tail[-1] if tail else 'log present'} "
+                  f"(visual_output/tpu_test_log.txt)", ""]
     return "\n".join(lines)
 
 

@@ -125,3 +125,64 @@ class TestNative:
             W[u, v] = W[v, u] = 1.0
         exp = 0.25 * float(np.sum(W * (1 - np.outer(spins, spins))))
         assert got == pytest.approx(exp)
+
+
+class TestNativeSA:
+    """Native C++ sa_dense: the small-problem latency path
+    (tsu_tpu/native/graph_tools.cpp, routed by
+    samplers/annealing.simulated_annealing_dense on integer seeds)."""
+
+    def test_native_finds_ferromagnet_ground_state(self):
+        from tsu_tpu.native import native_available, sa_dense_native
+
+        if not native_available():
+            pytest.skip("native library unavailable")
+        n = 10
+        J = np.zeros((n, n), np.float32)
+        for i in range(n - 1):
+            J[i, i + 1] = J[i + 1, i] = 2.0
+        schedule = np.geomspace(5.0, 0.05, 400).astype(np.float32)
+        state, e = sa_dense_native(J, np.zeros(n, np.float32), schedule,
+                                   n_chains=8, seed=3)
+        # Bit-ferromagnet ground state: all ones, E = -(n-1)*2.
+        assert np.all(state == 1.0)
+        assert e == pytest.approx(-(n - 1) * 2.0)
+
+    def test_native_matches_enumeration_optimum(self, rng):
+        from tsu_tpu.native import native_available, sa_dense_native
+
+        if not native_available():
+            pytest.skip("native library unavailable")
+        n = 8
+        J = rng.normal(0, 1.0, (n, n)).astype(np.float32)
+        J = (J + J.T) / 2
+        np.fill_diagonal(J, 0.0)
+        h = rng.normal(0, 0.5, n).astype(np.float32)
+        # Exact minimum by enumeration.
+        import itertools
+
+        best = 1e30
+        for bits in itertools.product([0.0, 1.0], repeat=n):
+            b = np.asarray(bits, np.float32)
+            best = min(best, float(-0.5 * b @ J @ b - h @ b))
+        schedule = np.geomspace(5.0, 0.02, 1500).astype(np.float32)
+        state, e = sa_dense_native(J, h, schedule, n_chains=16, seed=7)
+        assert e == pytest.approx(best, abs=1e-4)
+        # Reported energy must equal the energy of the reported state.
+        b = np.asarray(state, np.float32)
+        assert e == pytest.approx(float(-0.5 * b @ J @ b - h @ b), abs=1e-3)
+
+    def test_routing_prefers_native_for_int_seed(self):
+        """simulated_annealing_dense with an int seed on a small problem
+        returns HOST arrays (no device round-trip)."""
+        from tsu_tpu.native import native_available
+        from tsu_tpu.samplers.annealing import simulated_annealing_dense
+
+        if not native_available():
+            pytest.skip("native library unavailable")
+        J = np.zeros((4, 4), np.float32)
+        J[0, 1] = J[1, 0] = 1.0
+        state, e = simulated_annealing_dense(5, J, np.zeros(4, np.float32),
+                                             n_steps=100, n_chains=2)
+        assert isinstance(state, np.ndarray)
+        assert state.shape == (4,)
