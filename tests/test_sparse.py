@@ -186,3 +186,46 @@ class TestNativeSA:
                                              n_steps=100, n_chains=2)
         assert isinstance(state, np.ndarray)
         assert state.shape == (4,)
+
+
+class TestNativeGibbs:
+    """Native C++ gibbs_dense: tiny-model latency path routed by
+    GibbsSampler.sample_boltzmann."""
+
+    def test_matches_enumerated_distribution(self, rng):
+        from tsu_tpu.native import gibbs_dense_native, native_available
+
+        if not native_available():
+            pytest.skip("native library unavailable")
+        from tsu_tpu.benchmarks.sampling import (
+            _exact_distribution,
+            _state_histogram,
+        )
+
+        n = 5
+        J = rng.normal(0, 0.5, (n, n)).astype(np.float32)
+        J = (J + J.T) / 2
+        np.fill_diagonal(J, 0.0)
+        h = rng.normal(0, 0.3, n).astype(np.float32)
+        out = gibbs_dense_native(J, h, temperature=1.0, n_chains=16,
+                                 n_samples=20000, n_burnin=100, n_sweeps=2,
+                                 random_order=False, seed=9)
+        assert out.shape == (20000, n)
+        emp = _state_histogram(out)
+        exact = _exact_distribution(J, h, 1.0)
+        assert np.abs(emp - exact).max() < 0.01
+
+    def test_sampler_routes_small_problems_to_host(self):
+        from tsu_tpu.native import native_available
+        from tsu_tpu import GibbsConfig, GibbsSampler
+
+        if not native_available():
+            pytest.skip("native library unavailable")
+        J = np.zeros((6, 6), np.float32)
+        for i in range(5):
+            J[i, i + 1] = J[i + 1, i] = 1.0
+        s = GibbsSampler(GibbsConfig(n_burnin=20, n_sweeps=1, n_chains=4),
+                         seed=0)
+        out = s.sample_boltzmann(J, n_samples=50)
+        assert out.shape == (50, 6)
+        assert set(np.unique(out)) <= {0.0, 1.0}

@@ -59,6 +59,11 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.sa_dense.argtypes = [f32p, f32p, ctypes.c_int32, f32p,
                              ctypes.c_int32, ctypes.c_int32,
                              ctypes.c_uint64, f32p]
+    lib.gibbs_dense.restype = ctypes.c_int32
+    lib.gibbs_dense.argtypes = [f32p, f32p, ctypes.c_int32, ctypes.c_double,
+                                ctypes.c_int32, ctypes.c_int32,
+                                ctypes.c_int32, ctypes.c_int32,
+                                ctypes.c_int32, ctypes.c_uint64, f32p]
     _lib = lib
     return lib
 
@@ -182,6 +187,31 @@ def sa_dense_native(J, h, schedule, n_chains: int, seed: int):
     if e >= 1e299:
         return None
     return best_state, float(e)
+
+
+def gibbs_dense_native(J, h, *, temperature: float, n_chains: int,
+                       n_samples: int, n_burnin: int, n_sweeps: int,
+                       random_order: bool, seed: int):
+    """Native heat-bath Gibbs on dense (J, h); returns (n_samples, n) float32
+    bit samples, or None when the library is unavailable.
+
+    Latency path for tiny models (see sa_dense_native): site-ordered sweeps
+    (the engine's "sequential" chain) or per-sweep random permutations,
+    n_chains round-robin-interleaved — the same output layout as the
+    compiled engine (tsu_tpu/samplers/gibbs.py sample_boltzmann).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    J = np.ascontiguousarray(J, np.float32)
+    h = np.ascontiguousarray(h, np.float32)
+    n = J.shape[0]
+    out = np.zeros((n_samples, n), dtype=np.float32)
+    rc = lib.gibbs_dense(J, h, n, float(temperature), int(n_chains),
+                         int(n_samples), int(n_burnin), int(n_sweeps),
+                         1 if random_order else 0,
+                         int(seed) & (2**64 - 1), out)
+    return out if rc == 0 else None
 
 
 def native_available() -> bool:

@@ -192,4 +192,106 @@ double sa_dense(
   return best_e;
 }
 
+
+// Heat-bath Gibbs sampling on a dense bit-Boltzmann (J, h) — the LATENCY
+// path for tiny models (cf. sa_dense above). Site-ordered sweeps
+// (order_mode 0, the engine's "sequential" chain, reference
+// tsu/gibbs.py:128-162) or a fresh random site permutation per sweep
+// (order_mode 1, reference "random"). n_chains independent chains,
+// round-robin interleaved into the output so consecutive returned samples
+// come from different chains (matching the compiled engine's layout).
+// Writes n_samples rows of n floats into out; returns 0 on success.
+int32_t gibbs_dense(
+    const float* J,        // (n, n) row-major
+    const float* h,        // (n,)
+    int32_t n,
+    double temperature,
+    int32_t n_chains,
+    int32_t n_samples,     // total across chains
+    int32_t n_burnin,      // sweeps per chain before the first sample
+    int32_t n_sweeps,      // thinning sweeps between samples
+    int32_t order_mode,    // 0 sequential, 1 random permutation per sweep
+    uint64_t seed,
+    float* out) {          // (n_samples, n)
+  std::mt19937_64 rng(seed);
+  std::uniform_real_distribution<double> unif(0.0, 1.0);
+  std::uniform_int_distribution<int> coin(0, 1);
+  if (n_chains < 1) n_chains = 1;
+  const int32_t per_chain = (n_samples + n_chains - 1) / n_chains;
+
+  float* b = static_cast<float*>(std::malloc(
+      static_cast<int64_t>(n_chains) * n * sizeof(float)));
+  double* f = static_cast<double*>(std::malloc(
+      static_cast<int64_t>(n_chains) * n * sizeof(double)));
+  int32_t* order = static_cast<int32_t*>(std::malloc(n * sizeof(int32_t)));
+  if (!b || !f || !order) {
+    std::free(b);
+    std::free(f);
+    std::free(order);
+    return -1;
+  }
+  for (int32_t i = 0; i < n; ++i) order[i] = i;
+
+  // Init all chains + local fields.
+  for (int32_t c = 0; c < n_chains; ++c) {
+    float* bc = b + static_cast<int64_t>(c) * n;
+    double* fc = f + static_cast<int64_t>(c) * n;
+    for (int32_t i = 0; i < n; ++i) bc[i] = static_cast<float>(coin(rng));
+    for (int32_t i = 0; i < n; ++i) {
+      double fi = h[i];
+      const float* Ji = J + static_cast<int64_t>(i) * n;
+      for (int32_t j = 0; j < n; ++j) fi += Ji[j] * bc[j];
+      fc[i] = fi;
+    }
+  }
+
+  auto sweep_chain = [&](float* bc, double* fc) {
+    if (order_mode == 1) {
+      for (int32_t i = n - 1; i > 0; --i) {
+        std::uniform_int_distribution<int32_t> pick(0, i);
+        const int32_t j = pick(rng);
+        const int32_t t = order[i];
+        order[i] = order[j];
+        order[j] = t;
+      }
+    }
+    for (int32_t k = 0; k < n; ++k) {
+      const int32_t i = order[k];
+      const float Jii = J[static_cast<int64_t>(i) * n + i];
+      double x = (fc[i] - Jii * bc[i]) / temperature;
+      if (x > 30.0) x = 30.0;
+      if (x < -30.0) x = -30.0;
+      const double p = 1.0 / (1.0 + std::exp(-x));
+      const float newb = unif(rng) < p ? 1.0f : 0.0f;
+      const float delta = newb - bc[i];
+      if (delta != 0.0f) {
+        for (int32_t j = 0; j < n; ++j)
+          fc[j] += J[static_cast<int64_t>(j) * n + i] * delta;
+        bc[i] = newb;
+      }
+    }
+  };
+
+  for (int32_t c = 0; c < n_chains; ++c)
+    for (int32_t t = 0; t < n_burnin; ++t)
+      sweep_chain(b + static_cast<int64_t>(c) * n,
+                  f + static_cast<int64_t>(c) * n);
+
+  for (int32_t s = 0; s < per_chain; ++s) {
+    for (int32_t c = 0; c < n_chains; ++c) {
+      float* bc = b + static_cast<int64_t>(c) * n;
+      for (int32_t t = 0; t < n_sweeps; ++t)
+        sweep_chain(bc, f + static_cast<int64_t>(c) * n);
+      const int64_t row = static_cast<int64_t>(s) * n_chains + c;
+      if (row < n_samples)
+        for (int32_t i = 0; i < n; ++i) out[row * n + i] = bc[i];
+    }
+  }
+
+  std::free(b);
+  std::free(f);
+  std::free(order);
+  return 0;
+}
+
 }  // extern "C"

@@ -428,6 +428,27 @@ class GibbsSampler:
         # Coupling-free models route to the host device end-to-end (keys,
         # init, draw) — see dense_gibbs_sample's iid fast path.
         iid = color_groups(J).shape[0] == 1
+
+        # Tiny coupled models route to the native C++ host sampler: the
+        # whole job is ~1e6 flops while one tunneled-accelerator dispatch
+        # costs ~50 ms. Site-ordered sweeps (per-sweep random permutation
+        # for "random") — the exact reference chain; "checkerboard" shares
+        # the invariant distribution, so the host path is a pure win there
+        # too. The compiled engines own everything larger.
+        flops = (cfg.n_burnin + per_chain * cfg.n_sweeps) * n_chains * n * n
+        if not iid and initial_state is None and flops < 1e8:
+            from tsu_tpu.native import gibbs_dense_native
+
+            out = gibbs_dense_native(
+                J, h, temperature=cfg.temperature, n_chains=n_chains,
+                n_samples=n_samples, n_burnin=cfg.n_burnin,
+                n_sweeps=cfg.n_sweeps,
+                random_order=cfg.update_order == "random",
+                seed=int(self._seed_rng.integers(0, 2**63 - 1)),
+            )
+            if out is not None:
+                self.sample_count += n_samples
+                return out
         with _host_device_ctx(iid and n_chains * per_chain * n < (1 << 22)):
             key = self._next_key()
             if initial_state is not None:
