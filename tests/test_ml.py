@@ -250,3 +250,54 @@ class TestAnchoredEnsemble:
         pool = np.linspace(-3, 3, 25)[:, None].astype(np.float32)
         picked = reg.select_informative_samples(pool, 4)
         assert np.all(np.abs(pool[picked].ravel()) > 1.5)
+
+
+class TestBNNPosteriorMCMC:
+    """Full-Bayes weight posterior as an energy (SURVEY.md §8.1 L1):
+    BNNPosterior + the framework's own MCMC samplers."""
+
+    def test_conjugate_linear_posterior_exact(self):
+        """sizes=[1, 1] makes the model linear in theta=(w, b), so the
+        posterior is Gaussian in closed form; MALA moments must match."""
+        import jax
+        import jax.numpy as jnp
+
+        from tsu_tpu.energy import BNNPosterior
+        from tsu_tpu.samplers.mala import sample_mala
+
+        rng = np.random.default_rng(0)
+        N, sn, sp = 40, 0.3, 1.0
+        x = rng.uniform(-1, 1, (N, 1)).astype(np.float32)
+        y = (1.5 * x - 0.5 + sn * rng.normal(size=x.shape)).astype(np.float32)
+        post = BNNPosterior(x=jnp.asarray(x), y=jnp.asarray(y),
+                            sizes=(1, 1), prior_std=sp, noise_std=sn)
+        assert post.dim == 2
+
+        # Closed form: A = [x, 1]; Prec = A^T A / sn^2 + I / sp^2.
+        A = np.concatenate([x, np.ones_like(x)], axis=1)
+        prec = A.T @ A / sn**2 + np.eye(2) / sp**2
+        cov = np.linalg.inv(prec)
+        mean = cov @ (A.T @ y).ravel() / sn**2
+
+        thetas, info = sample_mala(
+            jax.random.key(1), jnp.zeros((16, 2)), energy_fn=post,
+            n_samples=400, step_size=1e-2, n_burnin=800,
+        )
+        draws = np.asarray(thetas).reshape(-1, 2)
+        assert np.abs(draws.mean(axis=0) - mean).max() < 0.05
+        assert np.abs(np.cov(draws.T) - cov).max() < 0.03
+        assert info["accept_rate"] > 0.3
+
+    def test_predict_mcmc_interface(self):
+        from tsu_tpu import BayesianRegressor
+
+        rng = np.random.default_rng(1)
+        x = rng.uniform(-1, 1, (30, 1)).astype(np.float32)
+        y = np.sin(2 * x).astype(np.float32)
+        reg = BayesianRegressor(1, [8], seed=0)
+        reg.fit(x, y, n_epochs=100, batch_size=30)
+        x_test = np.linspace(-1, 1, 9)[:, None].astype(np.float32)
+        res = reg.predict_mcmc(x, y, x_test, n_samples=64, n_chains=4,
+                               n_burnin=300)
+        assert res.mean.shape == (9, 1)
+        assert np.all(res.std >= 0) and np.all(np.isfinite(res.samples))

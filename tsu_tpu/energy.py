@@ -123,6 +123,68 @@ class DenseBoltzmann:
         return -0.5 * b @ J @ b - h @ b
 
 
+@dataclass(frozen=True, eq=False)
+class BNNPosterior:
+    """Negative log posterior of an MLP regressor over a FLAT weight vector.
+
+    The energy-DSL entry promised by SURVEY.md §8.1 L1: plugs the BNN weight
+    posterior into every continuous sampler in the framework (Langevin,
+    MALA, HMC/NUTS, tempering), giving gold-standard full-Bayes inference to
+    compare against the variational path (models/ml.py) — the reference has
+    no such capability (its "posterior sampling" never targets the true
+    posterior, quirk Q5).
+
+        E(theta) = sum((f(x; theta) - y)^2) / (2 noise_std^2)
+                 + sum(theta^2) / (2 prior_std^2)
+
+    ``eq=False``: instances hash by identity so they can be static args of
+    jitted samplers while holding device arrays.
+    """
+
+    x: jax.Array                  # (N, d_in)
+    y: jax.Array                  # (N, d_out)
+    sizes: tuple                  # (d_in, hidden..., d_out)
+    activation: str = "relu"
+    prior_std: float = 1.0
+    noise_std: float = 0.1
+
+    @property
+    def dim(self) -> int:
+        """Total number of parameters in the flat vector."""
+        return sum((a + 1) * b for a, b in zip(self.sizes[:-1], self.sizes[1:]))
+
+    def unflatten(self, theta: jax.Array):
+        """Flat (dim,) vector -> list of {"w": (a, b), "b": (b,)} layers."""
+        layers = []
+        off = 0
+        for a, b in zip(self.sizes[:-1], self.sizes[1:]):
+            w = theta[off:off + a * b].reshape(a, b)
+            off += a * b
+            bias = theta[off:off + b]
+            off += b
+            layers.append({"w": w, "b": bias})
+        return layers
+
+    def forward(self, theta: jax.Array, x: jax.Array) -> jax.Array:
+        from tsu_tpu.models.ml import _ACTIVATIONS
+
+        act = _ACTIVATIONS[self.activation]
+        h = x
+        layers = self.unflatten(theta)
+        for i, layer in enumerate(layers):
+            h = h @ layer["w"] + layer["b"]
+            if i < len(layers) - 1:
+                h = act(h)
+        return h
+
+    def __call__(self, theta: jax.Array) -> jax.Array:
+        pred = self.forward(theta, jnp.asarray(self.x))
+        resid = pred - jnp.asarray(self.y)
+        nll = jnp.sum(resid**2) / (2.0 * self.noise_std**2)
+        prior = jnp.sum(theta**2) / (2.0 * self.prior_std**2)
+        return nll + prior
+
+
 def lattice_ising_energy(
     spins: jax.Array, J: float = 1.0, h: float = 0.0, periodic: bool = True
 ) -> jax.Array:

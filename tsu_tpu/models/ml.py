@@ -452,6 +452,67 @@ class BayesianNetwork:
         self._set_trainable(trainable)
         return {"loss_history": self.loss_history, "kl_history": self.kl_history}
 
+    def posterior_energy(self, x, y, noise_std: Optional[float] = None):
+        """(BNNPosterior, theta0) — the true weight posterior as an energy.
+
+        Plugs into every continuous sampler (Langevin, MALA, HMC/NUTS):
+        full-Bayes inference over this network's weights, the gold standard
+        the variational fit approximates (SURVEY.md §8.1 L1 energy DSL).
+        ``theta0``: the current posterior means, flattened, as a start state.
+        """
+        from tsu_tpu.energy import BNNPosterior
+
+        if noise_std is None:
+            sn = self.observation_noise_std
+            noise_std = float(sn[0]) if sn is not None else 0.1
+        post = BNNPosterior(
+            x=jnp.atleast_2d(jnp.asarray(x, jnp.float32)),
+            y=jnp.asarray(y, jnp.float32).reshape(-1, self.layer_sizes[-1]),
+            sizes=tuple(self.layer_sizes),
+            activation=self.activation,
+            prior_std=self.prior_std,
+            noise_std=noise_std,
+        )
+        theta0 = jnp.concatenate(
+            [jnp.concatenate([layer["w_mu"].ravel(), layer["b_mu"].ravel()])
+             for layer in self.params]
+        )
+        return post, theta0
+
+    def predict_mcmc(
+        self,
+        x_train, y_train, x_test,
+        n_samples: int = 200,
+        n_chains: int = 8,
+        n_burnin: int = 2000,
+        noise_std: Optional[float] = None,
+    ) -> PredictionResult:
+        """Full-Bayes predictive via MALA over the flat weight posterior.
+
+        Gold-standard alternative to the variational ``predict``: chains are
+        vmapped, the posterior is the exact target (no factorization), and
+        every retained draw contributes a predictive sample.
+        """
+        from tsu_tpu.samplers.mala import sample_mala
+
+        post, theta0 = self.posterior_energy(x_train, y_train, noise_std)
+        key = self._next_key()
+        x0 = theta0[None, :] + 0.05 * jax.random.normal(
+            jax.random.fold_in(key, 0), (n_chains, theta0.shape[0])
+        )
+        thetas, _ = sample_mala(
+            jax.random.fold_in(key, 1), x0, energy_fn=post,
+            n_samples=max(1, n_samples // n_chains), step_size=1e-3,
+            n_burnin=n_burnin,
+        )
+        thetas = thetas.reshape(-1, theta0.shape[0])
+        x_test = jnp.atleast_2d(jnp.asarray(x_test, jnp.float32))
+        preds = jax.vmap(lambda t: post.forward(t, x_test))(thetas)
+        samples = np.asarray(preds)
+        return PredictionResult(
+            mean=samples.mean(axis=0), std=samples.std(axis=0), samples=samples
+        )
+
     def sample_posterior(self, n_samples: int = 10) -> List[PosteriorSample]:
         """Draw posterior weight samples (for introspection)."""
         out = []

@@ -33,7 +33,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from tsu_tpu.config import GibbsConfig, SamplingError
-from tsu_tpu.rng import as_key
 
 
 def _host_device_ctx(want_host: bool):
