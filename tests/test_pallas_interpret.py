@@ -229,3 +229,36 @@ def test_bond_kernel_exact(periodic):
         )
     assert jnp.array_equal(r_o, r_k)
     assert jnp.array_equal(b_o, b_k)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs >=4 virtual devices")
+@pytest.mark.parametrize("periodic", [True, False])
+def test_pallas_under_2d_sharding_exact(periodic):
+    """halfsweep_pallas in its col_halo mode inside the 2-D (row x col)
+    shard_map: four-sided ppermute halos + the kernel must reproduce the
+    full-lattice oracle exactly on injected uniforms (closes the r2
+    exclusion 'pallas path supports row sharding only',
+    parallel/lattice.py)."""
+    from tsu_tpu.parallel import make_mesh
+    from tsu_tpu.parallel.lattice import sharded_checkerboard_sweeps
+
+    R = C = 16
+    red, black = _random_planes(jax.random.key(2), R, C)
+    n_sweeps, T, J, field = 2, 2.269, 1.0, 0.0
+    U = jax.random.randint(jax.random.key(3), (n_sweeps, 2, R, C // 2),
+                           0, 1 << 24, jnp.int32)
+
+    r_o, b_o = red, black
+    for s in range(n_sweeps):
+        r_o = _oracle_halfstep_u24(b_o, True, U[s, 0], periodic, T, J, field)
+        b_o = _oracle_halfstep_u24(r_o, False, U[s, 1], periodic, T, J, field)
+
+    mesh = make_mesh(rows=2, cols=2)
+    with pltpu.force_tpu_interpret_mode():
+        r_k, b_k = sharded_checkerboard_sweeps(
+            mesh, jax.random.key(9), red, black, T, n_sweeps,
+            J=J, field=field, periodic=periodic, use_pallas=True,
+            col_axis="col", uniforms=U,
+        )
+    assert jnp.array_equal(r_o, jnp.asarray(r_k))
+    assert jnp.array_equal(b_o, jnp.asarray(b_k))

@@ -203,3 +203,52 @@ def test_seed_schedule_streams_decorrelated():
             assert abs(corr) < 0.06, (combos[a], combos[b], corr)
     # Determinism: the same seed vector replays the same stream.
     assert np.array_equal(planes[0], plane(0, 0, 0))
+
+
+@pytest.mark.tpu
+def test_pallas_col_halo_mode_statistics_on_chip():
+    """The kernel's col_halo mode (2-D sharding) with the HARDWARE PRNG on a
+    1x1 mesh: physics must match the unsharded XLA path within MC error
+    (the interpret-mode exact test covers halo correctness; this covers the
+    Mosaic compile + PRNG of the col_halo variant on the chip)."""
+    from tsu_tpu.ops.checkerboard import (
+        checkerboard_sweeps_planes,
+        lattice_energy_batch,
+        merge_checkerboard,
+        split_checkerboard,
+    )
+    from tsu_tpu.parallel import make_mesh
+    from tsu_tpu.parallel.lattice import sharded_checkerboard_sweeps
+
+    R = C = 128
+    T = 3.0
+    n_samp = 60
+    mesh = make_mesh(rows=1, cols=1, devices=jax.devices()[:1])
+    planes0 = split_checkerboard(jnp.ones((R, C), jnp.float32))
+
+    def collect(step):
+        red, black = step(0, *planes0, 30)
+        ms, es = [], []
+        for i in range(1, n_samp + 1):
+            red, black = step(i, red, black, 2)
+            lat = merge_checkerboard(jnp.asarray(red), jnp.asarray(black))
+            ms.append(float(jnp.mean(lat)))
+            es.append(float(lattice_energy_batch(lat)) / (R * C))
+        return np.abs(ms).mean(), np.mean(es)
+
+    def sharded_step(i, red, black, n):
+        return sharded_checkerboard_sweeps(
+            mesh, jax.random.fold_in(jax.random.key(21), i), red, black,
+            T, n, periodic=True, use_pallas=True, col_axis="col",
+        )
+
+    def xla_step(i, red, black, n):
+        return checkerboard_sweeps_planes(
+            jax.random.fold_in(jax.random.key(7), i), red, black, T, n,
+            J=1.0, field=0.0, periodic=True,
+        )
+
+    m_s, e_s = collect(sharded_step)
+    m_x, e_x = collect(xla_step)
+    assert m_s == pytest.approx(m_x, abs=0.02)
+    assert e_s == pytest.approx(e_x, abs=0.03)

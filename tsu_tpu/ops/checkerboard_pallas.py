@@ -79,13 +79,19 @@ def _halfsweep_kernel(
     other_ref,       # VMEM (BR, C2) opposite-color center block
     up_ref,          # VMEM (8, C2) halo tile; row 0 = row above the block
     down_ref,        # VMEM (8, C2) halo tile; row 0 = row below the block
-    *rest,           # [u24_ref (BR, C2) int32 if injected,] out_ref (BR, C2)
+    *rest,           # [lcol_ref, rcol_ref (BR, 128) if col_halo,]
+                     # [u24_ref (BR, C2) int32 if injected,] out_ref (BR, C2)
     update_red: bool,
     J: float,
     field: float,
     periodic: bool,
     injected: bool = False,
+    col_halo: bool = False,
 ):
+    rest = list(rest)
+    if col_halo:
+        lcol_ref, rcol_ref = rest[0], rest[1]
+        rest = rest[2:]
     if injected:
         # Caller-supplied uniforms in [0, 2^24): the kernel becomes a
         # deterministic function, enabling exact-equality tests against an
@@ -114,6 +120,16 @@ def _halfsweep_kernel(
     left_shift = pltpu.roll(other, 1, 1)
     right_shift = pltpu.roll(other, C2 - 1, 1)  # shift -1 == C2-1 (must be >=0)
 
+    if col_halo:
+        # Column-sharded shard: splice the ppermute'd neighbor columns over
+        # the wrapped edge lanes (lane 0 of the halo tiles is the real
+        # column). Global periodic/open horizontal boundaries are realized
+        # by the CALLER (wrap permute vs zeroed halos), exactly like the
+        # vertical protocol, so no in-kernel edge masking applies below.
+        col = jax.lax.broadcasted_iota(jnp.int32, (BR, C2), 1)
+        left_shift = jnp.where(col == 0, lcol_ref[:, 0:1], left_shift)
+        right_shift = jnp.where(col == C2 - 1, rcol_ref[:, 0:1], right_shift)
+
     # Block row size is even, so in-block row parity equals global row parity.
     row_par = jax.lax.broadcasted_iota(jnp.int32, (BR, C2), 0) % 2
     row_is_even = row_par == 0
@@ -122,7 +138,7 @@ def _halfsweep_kernel(
     else:
         horiz = jnp.where(row_is_even, other + right_shift, left_shift + other)
 
-    if not periodic:
+    if not periodic and not col_halo:
         col = jax.lax.broadcasted_iota(jnp.int32, (BR, C2), 1)
         if update_red:
             wrap_left = row_is_even & (col == 0)
@@ -168,6 +184,8 @@ def halfsweep_pallas(
     interpret: bool = False,
     u24: jax.Array | None = None,
     block_rows: int | None = None,
+    left_col: jax.Array | None = None,
+    right_col: jax.Array | None = None,
 ) -> jax.Array:
     """One color update given the opposite plane and its external halo rows.
 
@@ -185,6 +203,12 @@ def halfsweep_pallas(
             interpret-mode CI equality tests).
         block_rows: optional row-block override (tests use small blocks to
             exercise the multi-block halo splicing on small lattices).
+        left_col / right_col: optional (R, 1) compact-column halos for a
+            COLUMN-sharded shard (both or neither): the neighbor columns of
+            compact columns 0 and C2-1, delivered by ppermute
+            (tsu_tpu/parallel/lattice.py). When given, horizontal wrap/open
+            boundaries are the caller's responsibility (wrap permute vs
+            zeroed halos), mirroring the vertical halo protocol.
     Returns:
         the freshly resampled color plane (R, C2).
     """
@@ -222,6 +246,22 @@ def halfsweep_pallas(
         up_rows,
         down_rows,
     ]
+    col_halo = left_col is not None
+    assert (left_col is None) == (right_col is None), (
+        "left_col and right_col must be given together"
+    )
+    if col_halo:
+        # Lane 0 of a 128-lane tile carries the real halo column (lane-dim
+        # tiling requirement); one tile per row block.
+        def col_tile(c):
+            c = jnp.asarray(c, other.dtype).reshape(R, 1)
+            return jnp.pad(c, ((0, 0), (0, 127)))
+
+        in_specs += [
+            pl.BlockSpec((BR, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BR, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ]
+        inputs += [col_tile(left_col), col_tile(right_col)]
     if u24 is not None:
         in_specs.append(
             pl.BlockSpec((BR, C2), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -240,6 +280,7 @@ def halfsweep_pallas(
         field=float(field),
         periodic=periodic,
         injected=u24 is not None,
+        col_halo=col_halo,
     )
     return pl.pallas_call(
         kernel,

@@ -85,6 +85,22 @@ def _make_local_halfstep(
     """Build the per-shard half-sweep: halo exchange + color update."""
 
     if col_axis is not None:
+        if use_pallas:
+            from tsu_tpu.ops.checkerboard_pallas import halfsweep_pallas
+
+            def one_halfstep2d_pallas(k, seed, other, update_red, u24=None):
+                up, down = _halo_exchange(other, axis_name, periodic)
+                left, right = _halo_exchange_cols(other, col_axis, periodic)
+                # Horizontal wrap/open boundaries are realized by the
+                # exchanged (or zeroed) halo columns, so the kernel runs in
+                # its col_halo mode with no in-kernel edge masking.
+                return halfsweep_pallas(
+                    seed, temperature, other, up, down,
+                    update_red=update_red, J=J, field=field, periodic=True,
+                    left_col=left, right_col=right, u24=u24,
+                )
+
+            return one_halfstep2d_pallas
 
         def one_halfstep2d(k, seed, other, update_red, u24=None):
             up, down = _halo_exchange(other, axis_name, periodic)
@@ -184,19 +200,16 @@ def sharded_checkerboard_sweeps(
         f"rows per shard must be even: R={R}, shards={n_shards}"
     )
     if col_axis is not None:
-        assert not use_pallas, "pallas path supports row sharding only"
         assert C2 % mesh.shape[col_axis] == 0, (
             f"compact columns must divide evenly: C/2={C2}, "
             f"shards={mesh.shape[col_axis]}"
         )
-    # Injected uniforms are consumed only by the Pallas row-sharded kernel;
-    # the XLA and 2-D-mesh paths would silently ignore them (r2 advisor
-    # finding), so reject those combinations loudly.
-    assert uniforms is None or (use_pallas and col_axis is None), (
-        "uniforms require the pallas path (row sharding only)"
-    )
+    # Injected uniforms are consumed only by the Pallas kernels; the XLA
+    # paths would silently ignore them (r2 advisor finding), so reject that
+    # combination loudly.
+    assert uniforms is None or use_pallas, "uniforms require the pallas path"
     spec = P(axis_name, col_axis)
-    uspec = P(None, None, axis_name, None)
+    uspec = P(None, None, axis_name, col_axis)
     local_halfstep = _make_local_halfstep(
         axis_name, periodic, use_pallas, J, field, temperature, col_axis
     )
@@ -276,7 +289,6 @@ def sharded_lattice_sample(
         f"rows per shard must be even: R={R}, shards={n_shards}"
     )
     if col_axis is not None:
-        assert not use_pallas, "pallas path supports row sharding only"
         assert (C // 2) % mesh.shape[col_axis] == 0, (
             f"compact columns must divide evenly: C/2={C // 2}, "
             f"shards={mesh.shape[col_axis]}"
