@@ -140,16 +140,18 @@ def main():
     if isinstance(results.get("ea_bond_pallas"), float):
         out["ea_bond_flips_per_s"] = results["ea_bond_pallas"]
     # Side artifact with every measured row (committed per round so the
-    # spin-glass number lives next to the uniform-J headline).
-    try:
-        import os
+    # spin-glass number lives next to the uniform-J headline). TPU runs
+    # only: a CPU dev run must not clobber the committed chip measurement.
+    if backend == "tpu":
+        try:
+            import os
 
-        os.makedirs("visual_output", exist_ok=True)
-        with open("visual_output/kernel_bench.json", "w") as f:
-            json.dump({"size": size, "backend": backend, **results}, f,
-                      indent=2)
-    except OSError:
-        pass
+            os.makedirs("visual_output", exist_ok=True)
+            with open("visual_output/kernel_bench.json", "w") as f:
+                json.dump({"size": size, "backend": backend, **results}, f,
+                          indent=2)
+        except OSError:
+            pass
     print(json.dumps(out))
 
 

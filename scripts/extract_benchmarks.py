@@ -54,7 +54,8 @@ def render(results, headlines) -> str:
         lines.append("")
     kb = _load_json(os.path.join(REPO, "visual_output", "kernel_bench.json"))
     if kb:
-        lines += ["## Kernel rows (bench.py, real TPU)", ""]
+        lines += [f"## Kernel rows (bench.py, backend: {kb.get('backend')})",
+                  ""]
         lines += ["| kernel | flips/s |", "|---|---|"]
         for k, v in kb.items():
             if isinstance(v, float):
@@ -83,7 +84,6 @@ def render(results, headlines) -> str:
         d = _load_json(sc)
         if not d:
             continue
-        topo = d.get("topology", {})
         lines += [f"### scaling ({os.path.basename(sc)})", ""]
         for row in ("chains", "lattice"):
             r = d.get(row, {})

@@ -17,9 +17,12 @@ cd "$(dirname "$0")/.."
 OUT_DIR="${1:-visual_output}"
 python - "$OUT_DIR" <<'EOF'
 import json
+import os
 import sys
 
 import jax
+
+os.makedirs(sys.argv[1], exist_ok=True)
 
 try:
     jax.distributed.initialize()  # no-op args on Cloud TPU VMs

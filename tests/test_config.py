@@ -47,8 +47,11 @@ class TestTSUConfig:
 
 class TestGibbsConfig:
     def test_defaults_valid(self):
+        # Deliberate divergence from the reference default ("sequential"):
+        # the default config must not carry a silent throughput cliff, and
+        # every order targets the same invariant distribution.
         cfg = GibbsConfig()
-        assert cfg.update_order == "sequential"
+        assert cfg.update_order == "checkerboard"
 
     def test_bad_update_order(self):
         with pytest.raises(ConfigurationError, match="update_order"):

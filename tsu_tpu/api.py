@@ -347,9 +347,20 @@ def optimize(
         J, h = problem.to_ising()
         J_bit, h_bit = ising_to_boltzmann(np.asarray(J), np.asarray(h))
         # Integer seed lets small problems take the native host SA loop
-        # (no device dispatch); see simulated_annealing_dense.
-        seed_int = (int(seed) if isinstance(seed, (int, np.integer))
-                    else int(np.random.default_rng(seed).integers(2**63)))
+        # (no device dispatch); see simulated_annealing_dense. JAX PRNG
+        # keys remain accepted (reference-era callers): their key data
+        # seeds the host generator deterministically.
+        if isinstance(seed, (int, np.integer)):
+            seed_int = int(seed)
+        else:
+            entropy = seed
+            if isinstance(seed, jax.Array):
+                entropy = np.asarray(
+                    jax.random.key_data(seed)
+                    if jnp.issubdtype(seed.dtype, jax.dtypes.prng_key)
+                    else seed
+                ).ravel()
+            seed_int = int(np.random.default_rng(entropy).integers(2**63))
         best_bits, _ = simulated_annealing_dense(
             seed_int, J_bit, h_bit,
             T_initial=initial_temp, T_final=final_temp,

@@ -80,19 +80,23 @@ class GibbsConfig:
         temperature: sampling temperature T > 0.
         n_burnin: burn-in sweeps before the first retained sample.
         n_sweeps: sweeps between retained samples (thinning).
-        update_order: "sequential" (default — true site-ordered scan, the
-            exact Markov chain of the reference, tsu/gibbs.py:153-158),
-            "random" (site order re-permuted every sweep,
-            tsu/gibbs.py:155-156), or "checkerboard" (graph-colored block
-            sweeps — the TPU-native fast path; same invariant distribution,
-            different chain; use it whenever throughput matters).
+        update_order: "checkerboard" (default — graph-colored block sweeps,
+            the TPU-native fast path; same invariant distribution as the
+            reference's chain), "sequential" (true site-ordered scan, the
+            exact Markov chain of the reference, tsu/gibbs.py:153-158;
+            orders of magnitude slower at scale — opt in only when chain
+            semantics must match bit-for-bit), or "random" (site order
+            re-permuted every sweep, tsu/gibbs.py:155-156). The reference's
+            default is "sequential"; defaulting to the colored engine here
+            is deliberate — a default config must not carry a silent
+            throughput cliff, and all orders target the same distribution.
         n_chains: independent chains run in parallel.
     """
 
     temperature: float = 1.0
     n_burnin: int = 100
     n_sweeps: int = 10
-    update_order: str = "sequential"
+    update_order: str = "checkerboard"
     n_chains: int = 1
 
     def __post_init__(self):

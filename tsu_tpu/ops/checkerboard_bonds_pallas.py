@@ -34,7 +34,7 @@ _U24_SCALE = 1.0 / 16777216.0
 
 
 def _halfsweep_bonds_kernel(
-    seed_ref,     # SMEM (1,) int32 — folded stream id (see fold_seed)
+    seed_ref,     # SMEM (2,) int32 — (folded identity, sweep counter)
     t_ref,        # SMEM (1,) f32
     other_ref,    # VMEM (BR, C2) opposite-color center block
     up_ref,       # VMEM (8, C2) halo tile; row 0 = row above the block
@@ -53,9 +53,9 @@ def _halfsweep_bonds_kernel(
     else:
         (out_ref,) = rest
         i = pl.program_id(0)
-        # (folded components, block) — folding via fold_seed, never additive
-        # (see checkerboard_pallas._halfsweep_kernel).
-        pltpu.prng_seed(seed_ref[0], i)
+        # Two-slot schedule: folded identity + within-run counter (see
+        # checkerboard_pallas._halfsweep_kernel).
+        pltpu.prng_seed(seed_ref[0], seed_ref[1] * pl.num_programs(0) + i)
 
     other = other_ref[:].astype(jnp.float32)
     BR, C2 = other.shape
@@ -129,7 +129,10 @@ def halfsweep_bonds_pallas(
         blk, blk, blk, blk, blk,
     ]
     seed = jnp.asarray(seed, dtype=jnp.int32).reshape(-1)
-    seed = fold_seed(*[seed[i] for i in range(seed.shape[0])]).reshape(1)
+    parts = [seed[i] for i in range(seed.shape[0])]
+    sweep = parts[1] if len(parts) > 1 else jnp.int32(0)
+    ident = [parts[0]] + parts[2:]
+    seed = jnp.stack([fold_seed(*ident), jnp.asarray(sweep, jnp.int32)])
     inputs = [
         seed,
         jnp.asarray(temperature, dtype=jnp.float32).reshape(1),

@@ -134,7 +134,7 @@ def _horiz(other_f32, row_is_even, update_red, periodic):
 
 
 def _fused_sweep_kernel(
-    seed_ref,        # SMEM (1,) int32 — folded (base, sweep) stream id
+    seed_ref,        # SMEM (2,) int32 — (folded base, sweep counter)
     table_ref,       # SMEM (9,) int32 heat-bath thresholds (see sigmoid_table)
     black_ref,       # VMEM (BR, C2) black center band
     up_ref,          # VMEM (8, C2): rows 0,1 = black rows i*BR-2, i*BR-1
@@ -174,17 +174,19 @@ def _fused_sweep_kernel(
         # conditions on exactly the stored red plane. (Per-band seeding
         # would *re-draw* those rows with fresh uniforms — a subtle
         # detailed-balance violation at two rows per band boundary.)
-        # The sweep index is FOLDED into the seed with fold_seed's avalanche
-        # hash (outside the kernel), never added: an additive schedule would
-        # let adjacent integer seeds s, s+1 replay identical streams shifted
-        # by one sweep (r2 advisor finding). Mosaic caps prng_seed at two
-        # values, so the second slot carries the row group. One 32-bit draw
-        # per site feeds BOTH color updates (lo16 -> red, hi16 -> black).
+        # Two-slot stream schedule (Mosaic caps prng_seed at 2 values):
+        # slot 0 = fold_seed-hashed base seed, slot 1 = sweep * total_groups
+        # + row group — deterministically unique within a run, never
+        # additive on the base (an additive schedule lets adjacent integer
+        # seeds s, s+1 replay identical streams shifted by one sweep — r2
+        # advisor finding). One 32-bit draw per site feeds BOTH color
+        # updates (lo16 -> red, hi16 -> black).
         gpb = BR // 8  # row groups per band (BR divisible by 8)
+        total_groups = nb * gpb
         draws = []
         for j in range(gpb + 2):
-            g = (i * gpb - 1 + j) % (nb * gpb)
-            pltpu.prng_seed(seed_ref[0], g)
+            g = (i * gpb - 1 + j) % total_groups
+            pltpu.prng_seed(seed_ref[0], seed_ref[1] * total_groups + g)
             draws.append(pltpu.prng_random_bits((8, C2)))
         # Row 0 of buf = global row i*BR - 8.
         buf = pltpu.bitcast(jnp.concatenate(draws, axis=0), jnp.uint32)
@@ -316,7 +318,8 @@ def fused_sweep_pallas(
     from tsu_tpu.ops.checkerboard_pallas import fold_seed
 
     seed = jnp.asarray(seed, dtype=jnp.int32).reshape(-1)
-    seed = fold_seed(*[seed[i] for i in range(seed.shape[0])]).reshape(1)
+    sweep = seed[1] if seed.shape[0] > 1 else jnp.int32(0)
+    seed = jnp.stack([fold_seed(seed[0]), jnp.asarray(sweep, jnp.int32)])
     inputs = [
         seed,
         sigmoid_table16(J, field, temperature),

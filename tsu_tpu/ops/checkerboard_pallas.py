@@ -40,12 +40,15 @@ def fold_seed(*components) -> jax.Array:
     """Mix int32 seed components into ONE int32 stream id (XLA-side).
 
     Mosaic's ``prng_seed`` accepts at most two values on current TPUs, so
-    multi-part schedules (base, sweep, shard, color) are folded here with a
-    splitmix32-style avalanche chain and the kernel seeds with
-    ``prng_seed(folded, block_index)``. Never combine components by plain
-    addition: additive schedules let adjacent (seed, sweep) pairs replay
-    identical streams shifted by one step, and shard offsets collide once
-    sweep counts pass the stride (r2 advisor #4 / verdict weak #7).
+    identity components (base, shard, color) are folded here with a
+    splitmix32-style avalanche chain, while the within-run counter (sweep x
+    blocks + block) rides the second ``prng_seed`` slot — giving
+    DETERMINISTIC uniqueness inside a run (no birthday risk across sweeps)
+    and only a ~(n_streams^2 / 2^33) chance of a cross-stream fold
+    collision. Never combine components by plain addition: additive
+    schedules let adjacent (seed, sweep) pairs replay identical streams
+    shifted by one step, and shard offsets collide once sweep counts pass
+    the stride (r2 advisor #4 / verdict weak #7).
     """
     h = jnp.uint32(0x9E3779B9)
     for v in components:
@@ -74,7 +77,7 @@ def pick_block_rows(R: int, C2: int, itemsize: int = 4, vmem_budget: int = 2 * 2
 
 
 def _halfsweep_kernel(
-    seed_ref,        # SMEM (1,) int32 — folded stream id (see fold_seed)
+    seed_ref,        # SMEM (2,) int32 — (folded identity, sweep counter)
     t_ref,           # SMEM (1,) f32 — temperature
     other_ref,       # VMEM (BR, C2) opposite-color center block
     up_ref,          # VMEM (8, C2) halo tile; row 0 = row above the block
@@ -101,10 +104,11 @@ def _halfsweep_kernel(
     else:
         (out_ref,) = rest
         i = pl.program_id(0)
-        # Distinct stream per (folded components, block). Mosaic hashes the
-        # two prng_seed values together; the caller pre-mixed (base, sweep,
-        # color) with fold_seed (Mosaic caps prng_seed at 2 values).
-        pltpu.prng_seed(seed_ref[0], i)
+        # Two-slot schedule (Mosaic caps prng_seed at 2 values): slot 0 is
+        # the fold_seed-mixed identity (base, shard, color); slot 1 is the
+        # within-run counter sweep*nblocks + block — deterministically
+        # unique inside a run, so no birthday collisions across sweeps.
+        pltpu.prng_seed(seed_ref[0], seed_ref[1] * pl.num_programs(0) + i)
 
     other = other_ref[:]
     BR, C2 = other.shape
@@ -237,8 +241,14 @@ def halfsweep_pallas(
         pl.BlockSpec((8, C2), lambda i: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((8, C2), lambda i: (i, 0), memory_space=pltpu.VMEM),
     ]
+    # Seed vector convention: [base, sweep, color/shard-stream]. Identity
+    # components fold into slot 0; the sweep counter stays raw in slot 1.
     seed = jnp.asarray(seed, dtype=jnp.int32).reshape(-1)
-    seed = fold_seed(*[seed[i] for i in range(seed.shape[0])]).reshape(1)
+    parts = [seed[i] for i in range(seed.shape[0])]
+    base = parts[0]
+    sweep = parts[1] if len(parts) > 1 else jnp.int32(0)
+    ident = [base] + parts[2:]
+    seed = jnp.stack([fold_seed(*ident), jnp.asarray(sweep, jnp.int32)])
     inputs = [
         seed,
         jnp.asarray(temperature, dtype=jnp.float32).reshape(1),

@@ -298,6 +298,7 @@ def dense_gibbs_sample(
     n_sweeps: int = 10,
     random_order: bool = False,
     sequential: bool = False,
+    colors=None,
 ):
     """Boltzmann sampling on dense J: (n_chains, n_samples, n) bit samples.
 
@@ -307,10 +308,14 @@ def dense_gibbs_sample(
     (one color) short-circuits to one exact vectorized Bernoulli draw.
     ``sequential=True`` runs the site-ordered-scan chain instead of colored
     blocks (exact reference chain semantics; same invariant distribution).
+    ``colors``: optional precomputed :func:`color_groups` output (callers
+    that already colored J skip the O(n^2) host pass).
     """
     x0 = jnp.atleast_2d(jnp.asarray(x0, dtype=jnp.float32))
     h = jnp.asarray(h, jnp.float32)
-    colors = jnp.asarray(color_groups(np.asarray(J)))
+    if colors is None:
+        colors = color_groups(np.asarray(J))
+    colors = jnp.asarray(colors)
     if colors.shape[0] == 1:
         # Tiny coupling-free problems are latency-bound, not compute-bound:
         # one Bernoulli draw is ~us of work, but a tunneled-TPU dispatch
@@ -425,8 +430,10 @@ class GibbsSampler:
         n_chains = cfg.n_chains
         per_chain = -(-n_samples // n_chains)
         # Coupling-free models route to the host device end-to-end (keys,
-        # init, draw) — see dense_gibbs_sample's iid fast path.
-        iid = color_groups(J).shape[0] == 1
+        # init, draw) — see dense_gibbs_sample's iid fast path. Color once;
+        # the engine call below reuses the result.
+        colors = color_groups(J)
+        iid = colors.shape[0] == 1
 
         # Tiny coupled models route to the native C++ host sampler: the
         # whole job is ~1e6 flops while one tunneled-accelerator dispatch
@@ -466,6 +473,7 @@ class GibbsSampler:
                 n_sweeps=cfg.n_sweeps,
                 random_order=cfg.update_order == "random",
                 sequential=cfg.update_order in ("sequential", "random"),
+                colors=colors,
             )
         out = np.asarray(samples).transpose(1, 0, 2).reshape(-1, n)[:n_samples]
         self.sample_count += n_samples
