@@ -502,7 +502,7 @@ class IsingGrid(IsingModel):
                 n_samples=n_samples, temperature=T, J=self.coupling_strength,
                 n_burnin=self.config.n_burnin, n_sweeps=self.config.n_sweeps,
                 periodic=self.periodic,
-                use_pallas=self._use_pallas and col_axis is None,
+                use_pallas=self._use_pallas,
                 col_axis=col_axis,
             )
             return {
