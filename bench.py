@@ -72,9 +72,14 @@ def main():
             planes16 = split_checkerboard(jnp.ones((R, C), dtype=jnp.bfloat16))
             best = 0.0
             for _trial in range(3):  # best-of-3 vs tunnel contention
-                best = max(best, _throughput(pallas_step, planes16,
-                                             n_iters=3, n_sweeps_per_iter=S))
-            results["pallas_fused"] = best
+                try:
+                    best = max(best, _throughput(pallas_step, planes16,
+                                                 n_iters=3,
+                                                 n_sweeps_per_iter=S))
+                except Exception as e:  # noqa: BLE001 — transient tunnel fault
+                    results["pallas_trial_error"] = str(e)[:200]
+            if best > 0:
+                results["pallas_fused"] = best
         except Exception as e:  # noqa: BLE001 — fall back to the XLA path
             results["pallas_error"] = str(e)[:200]
 
@@ -106,9 +111,14 @@ def main():
             planes32 = split_checkerboard(jnp.ones((R, C), dtype=jnp.float32))
             best = 0.0
             for _trial in range(3):
-                best = max(best, _throughput(bond_step, planes32,
-                                             n_iters=3, n_sweeps_per_iter=Sb))
-            results["ea_bond_pallas"] = best
+                try:
+                    best = max(best, _throughput(bond_step, planes32,
+                                                 n_iters=3,
+                                                 n_sweeps_per_iter=Sb))
+                except Exception as e:  # noqa: BLE001 — transient tunnel fault
+                    results["ea_bond_trial_error"] = str(e)[:200]
+            if best > 0:
+                results["ea_bond_pallas"] = best
         except Exception as e:  # noqa: BLE001
             results["ea_bond_error"] = str(e)[:200]
 

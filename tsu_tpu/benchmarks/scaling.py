@@ -33,7 +33,15 @@ from tsu_tpu.samplers.langevin import sample_langevin
 
 
 def _sync(x):
-    np.asarray(jax.tree.leaves(x)[0])[:1]
+    """Force completion by fetching a TINY device-side slice.
+
+    np.asarray on the full array would ship the whole buffer through the
+    tunneled runtime (seconds for MB-scale planes) and dominate the timed
+    region; slicing on device first keeps the fetch to a few bytes while
+    still waiting for the computation (block_until_ready alone
+    under-reports on tunneled backends — see bench.py)."""
+    leaf = jax.tree.leaves(x)[0]
+    np.asarray(leaf[(slice(0, 1),) * leaf.ndim])
 
 
 def _shared_host() -> bool:
@@ -123,15 +131,23 @@ def measure_chains_scaling(
 def measure_lattice_scaling(
     rows_per_device: int = 1024,
     cols: int = 4096,
-    n_sweeps: int = 50,
+    n_sweeps: int = 200,
     seed: int = 0,
+    use_pallas: Optional[bool] = None,
 ) -> dict:
-    """Row-sharded lattice sweeps/s: 1 device vs all (halo-exchange bound)."""
+    """Row-sharded lattice sweeps/s: 1 device vs all (halo-exchange bound).
+
+    Measures the PRODUCTION sharded path: the Pallas kernel inside
+    shard_map on TPU (XLA elsewhere — interpret-mode Pallas is a
+    correctness tool, not a throughput path).
+    """
     from tsu_tpu.ops.checkerboard import split_checkerboard
     from tsu_tpu.parallel.lattice import sharded_checkerboard_sweeps
 
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
     devices = jax.devices()
-    results = {}
+    results = {"use_pallas": use_pallas}
     for label, devs in (("1_device", devices[:1]), ("all_devices", devices)):
         n_dev = len(devs)
         mesh = make_mesh(rows=n_dev, devices=devs)
@@ -144,7 +160,7 @@ def measure_lattice_scaling(
         def run(i, red, black):
             return sharded_checkerboard_sweeps(
                 mesh, jax.random.key(seed + i), red, black, 2.269, n_sweeps,
-                periodic=True,
+                periodic=True, use_pallas=use_pallas,
             )
 
         red, black = run(0, red, black)

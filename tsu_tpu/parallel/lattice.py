@@ -23,7 +23,7 @@ Correctness notes (SURVEY.md §8.3 item 2):
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -80,39 +80,45 @@ def _halo_exchange_cols(plane, axis_name: str, periodic: bool):
 
 
 def _make_local_halfstep(
-    axis_name, periodic, use_pallas, J, field, temperature, col_axis=None
+    axis_name, periodic, use_pallas, J, field, col_axis=None
 ):
-    """Build the per-shard half-sweep: halo exchange + color update."""
+    """Build the per-shard half-sweep: halo exchange + color update.
+
+    The returned function takes temperature as an ARGUMENT (not a closure
+    capture) so one compiled program serves every temperature — and so the
+    whole sharded program can be built once per static configuration and
+    cached (see :func:`_sharded_sweeps_fn`).
+    """
 
     if col_axis is not None:
         if use_pallas:
             from tsu_tpu.ops.checkerboard_pallas import halfsweep_pallas
 
-            def one_halfstep2d_pallas(k, seed, other, update_red, u24=None):
+            def one_halfstep2d_pallas(k, seed, other, update_red, T,
+                                      u24=None):
                 up, down = _halo_exchange(other, axis_name, periodic)
                 left, right = _halo_exchange_cols(other, col_axis, periodic)
                 # Horizontal wrap/open boundaries are realized by the
                 # exchanged (or zeroed) halo columns, so the kernel runs in
                 # its col_halo mode with no in-kernel edge masking.
                 return halfsweep_pallas(
-                    seed, temperature, other, up, down,
+                    seed, T, other, up, down,
                     update_red=update_red, J=J, field=field, periodic=True,
                     left_col=left, right_col=right, u24=u24,
                 )
 
             return one_halfstep2d_pallas
 
-        def one_halfstep2d(k, seed, other, update_red, u24=None):
+        def one_halfstep2d(k, seed, other, update_red, T, u24=None):
             up, down = _halo_exchange(other, axis_name, periodic)
             left, right = _halo_exchange_cols(other, col_axis, periodic)
             return halfstep_with_halo2d(
-                k, other, up, down, left, right, update_red,
-                temperature, J, field,
+                k, other, up, down, left, right, update_red, T, J, field,
             )
 
         return one_halfstep2d
 
-    def one_halfstep(k, seed, other, update_red, u24=None):
+    def one_halfstep(k, seed, other, update_red, T, u24=None):
         up, down = _halo_exchange(other, axis_name, periodic)
         if use_pallas:
             from tsu_tpu.ops.checkerboard_pallas import halfsweep_pallas
@@ -121,12 +127,12 @@ def _make_local_halfstep(
             # ``periodic`` only governs the kernel's column masking; the
             # vertical boundary is realized by the exchanged halo rows.
             return halfsweep_pallas(
-                seed, temperature, other, up, down,
+                seed, T, other, up, down,
                 update_red=update_red, J=J, field=field, periodic=periodic,
                 u24=u24,
             )
         return halfstep_with_halo(
-            k, other, up, down, update_red, temperature, J, field, periodic
+            k, other, up, down, update_red, T, J, field, periodic
         )
 
     return one_halfstep
@@ -169,6 +175,64 @@ def _local_observables(red, black, axis_name, periodic, J, field, col_axis=None)
     )
 
 
+@lru_cache(maxsize=64)
+def _sharded_sweeps_fn(mesh, n_sweeps, J, field, periodic, use_pallas,
+                       axis_name, col_axis):
+    """Build + jit the sharded sweeps program ONCE per static configuration.
+
+    The r3 scaling run exposed ~200 ms of Python re-trace per call when the
+    shard_map closure was rebuilt inside the entry function; caching the
+    jitted program (keyed on mesh + statics; temperature is an argument)
+    makes repeat calls pure dispatch.
+    """
+    spec = P(axis_name, col_axis)
+    uspec = P(None, None, axis_name, col_axis)
+    local_halfstep = _make_local_halfstep(
+        axis_name, periodic, use_pallas, J, field, col_axis
+    )
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), spec, spec, P(), uspec),
+        out_specs=(spec, spec),
+        check_vma=False,
+    )
+    def run(key, red_l, black_l, T, uniforms_l):
+        shard = jax.lax.axis_index(axis_name)
+        if col_axis is not None:
+            shard = shard * jax.lax.axis_size(col_axis) + jax.lax.axis_index(col_axis)
+        # Pallas seed schedule: identity components (base, shard*2+color)
+        # fold in-kernel via fold_seed; the sweep index rides the second
+        # prng_seed slot as a within-run counter. The r2 additive schedule
+        # ((sweep*2 + shard*131) * 65537) collided across shards once sweep
+        # counts passed ~65: shard s at sweep i and shard s' at sweep
+        # i + 65.5*(s'-s) replayed identical streams.
+        base = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
+        key = jax.random.fold_in(key, shard)
+
+        def body(carry, inp):
+            red_l, black_l = carry
+            sweep_idx, k, u = inp
+            k_r, k_b = jax.random.split(k)
+            sc = shard * 2
+            red_l = local_halfstep(
+                k_r, jnp.stack([base, sweep_idx, sc]), black_l, True, T,
+                None if u is None else u[0])
+            black_l = local_halfstep(
+                k_b, jnp.stack([base, sweep_idx, sc + 1]), red_l, False, T,
+                None if u is None else u[1])
+            return (red_l, black_l), None
+
+        keys = jax.random.split(key, n_sweeps)
+        (red_l, black_l), _ = jax.lax.scan(
+            body, (red_l, black_l), (jnp.arange(n_sweeps), keys, uniforms_l)
+        )
+        return red_l, black_l
+
+    return jax.jit(run)
+
+
 def sharded_checkerboard_sweeps(
     mesh: Mesh,
     key: jax.Array,
@@ -191,7 +255,7 @@ def sharded_checkerboard_sweeps(
     ``red``/``black`` have global shape (R, C/2), sharded
     (axis_name, col_axis). Returns updated (red, black), same sharding.
     ``uniforms``: optional (n_sweeps, 2, R, C2) int32 in [0, 2^24), sharded
-    like the planes on the row axis — deterministic mode for the Pallas path
+    like the planes — deterministic mode for the Pallas path
     (interpret-mode CI equality tests of kernel + halo exchange together).
     """
     n_shards = mesh.shape[axis_name]
@@ -208,55 +272,15 @@ def sharded_checkerboard_sweeps(
     # paths would silently ignore them (r2 advisor finding), so reject that
     # combination loudly.
     assert uniforms is None or use_pallas, "uniforms require the pallas path"
-    spec = P(axis_name, col_axis)
-    uspec = P(None, None, axis_name, col_axis)
-    local_halfstep = _make_local_halfstep(
-        axis_name, periodic, use_pallas, J, field, temperature, col_axis
-    )
-
-    @partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(P(), spec, spec, uspec),
-        out_specs=(spec, spec),
-        check_vma=False,
-    )
-    def run(key, red_l, black_l, uniforms_l):
-        shard = jax.lax.axis_index(axis_name)
-        if col_axis is not None:
-            shard = shard * jax.lax.axis_size(col_axis) + jax.lax.axis_index(col_axis)
-        # Pallas seed schedule: (base, sweep, shard*2+color) components hashed
-        # by the kernel's multi-arg prng_seed. The r2 additive schedule
-        # ((sweep*2 + shard*131) * 65537) collided across shards once sweep
-        # counts passed ~65: shard s at sweep i and shard s' at sweep
-        # i + 65.5*(s'-s) replayed identical streams.
-        base = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
-        key = jax.random.fold_in(key, shard)
-
-        def body(carry, inp):
-            red_l, black_l = carry
-            sweep_idx, k, u = inp
-            k_r, k_b = jax.random.split(k)
-            sc = shard * 2
-            red_l = local_halfstep(
-                k_r, jnp.stack([base, sweep_idx, sc]), black_l, True,
-                None if u is None else u[0])
-            black_l = local_halfstep(
-                k_b, jnp.stack([base, sweep_idx, sc + 1]), red_l, False,
-                None if u is None else u[1])
-            return (red_l, black_l), None
-
-        keys = jax.random.split(key, n_sweeps)
-        (red_l, black_l), _ = jax.lax.scan(
-            body, (red_l, black_l), (jnp.arange(n_sweeps), keys, uniforms_l)
-        )
-        return red_l, black_l
-
+    fn = _sharded_sweeps_fn(mesh, n_sweeps, float(J), float(field), periodic,
+                            use_pallas, axis_name, col_axis)
     if uniforms is not None:
         uniforms = jax.device_put(
-            jnp.asarray(uniforms, jnp.int32), NamedSharding(mesh, uspec)
+            jnp.asarray(uniforms, jnp.int32),
+            NamedSharding(mesh, P(None, None, axis_name, col_axis)),
         )
-    return jax.jit(run)(key, red, black, uniforms)
+    return fn(key, red, black, jnp.asarray(temperature, jnp.float32),
+              uniforms)
 
 
 def sharded_lattice_sample(
@@ -293,30 +317,47 @@ def sharded_lattice_sample(
             f"compact columns must divide evenly: C/2={C // 2}, "
             f"shards={mesh.shape[col_axis]}"
         )
-    n_sites = R * C
-    spec = P(axis_name, col_axis)
-    local_halfstep = _make_local_halfstep(
-        axis_name, periodic, use_pallas, J, field, temperature, col_axis
-    )
-
+    fn = _sharded_sample_fn(mesh, n_samples, n_burnin, n_sweeps, float(J),
+                            float(field), periodic, use_pallas, axis_name,
+                            col_axis)
     red, black = split_checkerboard(jnp.asarray(lattice0, dtype=jnp.float32))
-    sharding = NamedSharding(mesh, spec)
+    sharding = NamedSharding(mesh, P(axis_name, col_axis))
     red = jax.device_put(red, sharding)
     black = jax.device_put(black, sharding)
+    ms, es, red, black = fn(key, red, black,
+                            jnp.asarray(temperature, jnp.float32))
+    return {
+        "magnetization": ms,
+        "energy": es,
+        "final_planes": (red, black),
+    }
+
+
+@lru_cache(maxsize=64)
+def _sharded_sample_fn(mesh, n_samples, n_burnin, n_sweeps, J, field,
+                       periodic, use_pallas, axis_name, col_axis):
+    """Cached jitted builder for :func:`sharded_lattice_sample` (one trace
+    per static configuration; temperature is an argument)."""
+    spec = P(axis_name, col_axis)
+    local_halfstep = _make_local_halfstep(
+        axis_name, periodic, use_pallas, J, field, col_axis
+    )
 
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(), spec, spec),
+        in_specs=(P(), spec, spec, P()),
         out_specs=(P(), P(), spec, spec),
         check_vma=False,
     )
-    def run(key, red_l, black_l):
+    def run(key, red_l, black_l, T):
         shard = jax.lax.axis_index(axis_name)
+        n_sites = 2 * red_l.shape[0] * red_l.shape[1] * jax.lax.axis_size(axis_name)
         if col_axis is not None:
             shard = shard * jax.lax.axis_size(col_axis) + jax.lax.axis_index(col_axis)
-        # Hashed (base, sweep, shard*2+color) schedule — see
-        # sharded_checkerboard_sweeps.
+            n_sites = n_sites * jax.lax.axis_size(col_axis)
+        # Folded-identity + sweep-counter seed schedule — see
+        # _sharded_sweeps_fn.
         base = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
         key = jax.random.fold_in(key, shard)
 
@@ -327,9 +368,9 @@ def sharded_lattice_sample(
                 k_r, k_b = jax.random.split(kk)
                 sc = shard * 2
                 red_l = local_halfstep(
-                    k_r, jnp.stack([base, i, sc]), black_l, True)
+                    k_r, jnp.stack([base, i, sc]), black_l, True, T)
                 black_l = local_halfstep(
-                    k_b, jnp.stack([base, i, sc + 1]), red_l, False)
+                    k_b, jnp.stack([base, i, sc + 1]), red_l, False, T)
                 return (red_l, black_l), None
 
             idxs = step_base + jnp.arange(n)
@@ -360,9 +401,4 @@ def sharded_lattice_sample(
         )
         return ms, es, red_l, black_l
 
-    ms, es, red, black = jax.jit(run)(key, red, black)
-    return {
-        "magnetization": ms,
-        "energy": es,
-        "final_planes": (red, black),
-    }
+    return jax.jit(run)
