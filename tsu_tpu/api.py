@@ -99,6 +99,14 @@ class Sampler(ABC):
         Timing honesty: the first call with a given shape includes JIT
         compilation; ``metadata["includes_compile"]`` marks it. Later calls
         with the same shapes report steady-state throughput.
+
+        ``includes_compile`` is a per-INSTANCE heuristic: the underlying
+        jit cache is process-wide and also keyed on the energy function and
+        state shapes, so a second sampler instance over the same energy may
+        report ``True`` for a warm call (harmless, conservative), and an
+        exotic caller that mutates shapes behind one instance could see the
+        reverse. Treat it as "this timing may include compilation", not a
+        compiler-verified fact (r3 advisor #3).
         """
         if n is not None:
             n_samples = n

@@ -76,12 +76,16 @@ class MLBenchmark:
         self.results: List[MLResult] = []
 
     def _evaluate(self, name, reg, x_test, y_test, t_elapsed,
-                  extra=None) -> MLResult:
+                  extra=None, res=None) -> MLResult:
         """Calibration vs held-out *noisy* observations (reference semantics,
         tsu/benchmarks/ml.py:136-180: y_test includes observation noise, so
         the right interval is the predictive one — epistemic spread from the
-        weight posterior plus the learned aleatoric scale sigma_n)."""
-        res = reg.predict(x_test, n_samples=200)
+        weight posterior plus the learned aleatoric scale sigma_n).
+
+        ``res``: optional precomputed :class:`PredictionResult` (the MCMC
+        row passes its predictive directly)."""
+        if res is None:
+            res = reg.predict(x_test, n_samples=200)
         mean = res.mean.ravel()
         sig_n = reg.observation_noise_std
         sig_n = float(sig_n[0]) if sig_n is not None else 0.0
@@ -137,6 +141,38 @@ class MLBenchmark:
                 learning_rate=0.01, kl_weight=0.1)
         return self._evaluate("heteroscedastic", reg, x_test, y_test,
                               time.perf_counter() - t0)
+
+    def benchmark_sinusoid_mcmc(self, n_train: int = 100,
+                                n_epochs: int = 200) -> MLResult:
+        """Full-Bayes row: MALA over the EXACT weight posterior
+        (BNNPosterior via ``predict_mcmc``) on the same sinusoid split as
+        the VI row — the framework's signature estimator benchmarked next
+        to its approximations (r3 verdict #4). ``predict_mcmc`` is
+        conjugate-validated in tests/test_ml.py; this row reports its
+        predictive quality/calibration on a real task.
+
+        A short VI fit supplies the chain initialization (posterior-mean
+        start) and the learned observation noise; the MALA chains then
+        sample the unfactorized posterior itself.
+        """
+        rng = np.random.default_rng(self.seed)
+        x = rng.uniform(-1, 1, (n_train, 1)).astype(np.float32)
+        y = (np.sin(3 * x) + 0.1 * rng.normal(size=x.shape)).astype(np.float32)
+        x_test = np.linspace(-1, 1, 200)[:, None].astype(np.float32)
+        y_test = (np.sin(3 * x_test)
+                  + 0.1 * rng.normal(size=x_test.shape)).astype(np.float32)
+        reg = BayesianRegressor(1, [32, 32], seed=self.seed)
+        t0 = time.perf_counter()
+        reg.fit(x, y, n_epochs=n_epochs, batch_size=n_train,
+                learning_rate=0.01, kl_weight=0.1)
+        res = reg.predict_mcmc(x, y, x_test, n_samples=512, n_chains=16,
+                               n_burnin=3000)
+        elapsed = time.perf_counter() - t0
+        return self._evaluate(
+            "sinusoid_mcmc", reg, x_test, y_test, elapsed, res=res,
+            extra={"estimator": "mala_full_bayes",
+                   "n_posterior_draws": int(res.samples.shape[0])},
+        )
 
     def benchmark_extrapolation(self, n_train: int = 80,
                                 n_epochs: int = 2000) -> MLResult:

@@ -165,9 +165,17 @@ class SamplingBenchmark:
         return self._run_case("boltzmann_chain", J, h, n_samples)
 
     def benchmark_ferromagnet_bimodal(self, n_spins: int = 10,
-                                      n_samples: int = 2_000) -> SamplingResult:
+                                      n_samples: int = 20_000) -> SamplingResult:
         """Fully-connected ferromagnet: bimodal all-up/all-down
-        (cf. tsu/benchmarks/sampling.py:226-312)."""
+        (cf. tsu/benchmarks/sampling.py:226-312).
+
+        Statistical margin (r3 verdict #6): this is the hardest row — the
+        bimodal target autocorrelates the chains, so at 2k samples the
+        moment z-scores sat at ~2.5 against a 3-sigma gate (a seed-lottery
+        flake) and the plugin KL was dominated by estimator bias. 20k
+        samples cost ~30 ms at measured throughput and put typical
+        max_abs_z well under 1.5 with the calibrated/plugin KL gap closed.
+        """
         J = np.full((n_spins, n_spins), 0.35, np.float32)
         np.fill_diagonal(J, 0.0)
         h = np.full(n_spins, -0.35 * (n_spins - 1) / 2, np.float32)
@@ -181,5 +189,8 @@ class SamplingBenchmark:
         scale = 5 if quick else 1
         self.benchmark_uniform_binary(10_000 // scale)
         self.benchmark_boltzmann_chain(10, 2_000 // scale)
-        self.benchmark_ferromagnet_bimodal(10, 2_000 // scale)
+        # The bimodal row keeps a 20k/4k budget (not 2k/400): its z-gate
+        # needs the larger sample to hold a real statistical margin, and
+        # the extra samples cost only milliseconds (see docstring).
+        self.benchmark_ferromagnet_bimodal(10, 20_000 // scale)
         return self.results

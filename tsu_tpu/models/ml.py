@@ -17,7 +17,7 @@ API parity with the reference (tsu/ml.py), rebuilt as a true ELBO optimizer:
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from functools import partial
+from functools import lru_cache, partial
 from typing import List, Optional, Tuple
 
 import jax
@@ -155,6 +155,19 @@ def elbo_loss(params, key, x, y, *, kl_weight, n_mc, temperature, activation,
     # batch size instead silently over-regularizes small batches).
     n_total = x.shape[0] if n_total is None else n_total
     return data_term + kl_weight * kl / n_total, (data_term, kl)
+
+
+@lru_cache(maxsize=32)
+def _adam(learning_rate: float):
+    """One optax transform per learning rate (cached).
+
+    ``optimizer.update`` is a STATIC jit argument of the training scans, so
+    constructing a fresh ``optax.adam`` inside every ``fit()`` would key a
+    new compilation each call and grow the jit cache without bound (r3
+    advisor finding); the cache makes repeat fits at the same learning rate
+    hit the compiled program.
+    """
+    return optax.adam(learning_rate)
 
 
 @partial(jax.jit, static_argnames=("n_mc", "activation", "optimizer_update"))
@@ -396,7 +409,7 @@ class BayesianNetwork:
         batch_size = min(batch_size, n)
 
         trainable = self._trainable()
-        optimizer = optax.adam(learning_rate)
+        optimizer = _adam(float(learning_rate))
         opt_state = optimizer.init(trainable)
 
         if batch_size >= n and mesh is None:
@@ -658,7 +671,7 @@ class AnchoredEnsembleRegressor:
         """Train all members (one scanned, vmapped computation)."""
         x = jnp.atleast_2d(jnp.asarray(x, dtype=jnp.float32))
         y = jnp.asarray(y, dtype=jnp.float32).reshape(x.shape[0], -1)
-        optimizer = optax.adam(learning_rate)
+        optimizer = _adam(float(learning_rate))
         opt_state = optimizer.init(self.trainable)
         self.trainable, _, losses = _anchored_train(
             self.trainable, self.anchors, opt_state, x, y, self.prior_std,

@@ -134,7 +134,9 @@ def _horiz(other_f32, row_is_even, update_red, periodic):
 
 
 def _fused_sweep_kernel(
-    seed_ref,        # SMEM (2,) int32 — (folded base, sweep counter)
+    seed_ref,        # SMEM (6,) int32 — (folded base, sweep counter,
+                     #  global row-group offset, total global row groups,
+                     #  is-global-top flag, is-global-bottom flag)
     table_ref,       # SMEM (9,) int32 heat-bath thresholds (see sigmoid_table)
     black_ref,       # VMEM (BR, C2) black center band
     up_ref,          # VMEM (8, C2): rows 0,1 = black rows i*BR-2, i*BR-1
@@ -166,13 +168,14 @@ def _fused_sweep_kernel(
         u_black = ub_ref[:]
     else:
         red_out_ref, black_out_ref = rest
-        # Row-group-keyed PRNG: the uniforms for global rows [8g, 8g+8) come
+        # Row-group-keyed PRNG: the uniforms for GLOBAL rows [8g, 8g+8) come
         # from the stream seeded (seed, sweep, g), regardless of which band
-        # draws them. The red extension rows (global i*BR-1 and (i+1)*BR)
-        # are thereby recomputed bit-identically to the center rows stored
-        # by the neighboring bands, so the black update at band boundaries
-        # conditions on exactly the stored red plane. (Per-band seeding
-        # would *re-draw* those rows with fresh uniforms — a subtle
+        # — or which SHARD (tsu_tpu/parallel/lattice.py) — draws them. The
+        # red extension rows (global i*BR-1 and (i+1)*BR) are thereby
+        # recomputed bit-identically to the center rows stored by the
+        # neighboring bands/shards, so the black update at band and shard
+        # boundaries conditions on exactly the stored red plane. (Per-band
+        # seeding would *re-draw* those rows with fresh uniforms — a subtle
         # detailed-balance violation at two rows per band boundary.)
         # Two-slot stream schedule (Mosaic caps prng_seed at 2 values):
         # slot 0 = fold_seed-hashed base seed, slot 1 = sweep * total_groups
@@ -181,11 +184,16 @@ def _fused_sweep_kernel(
         # seeds s, s+1 replay identical streams shifted by one sweep — r2
         # advisor finding). One 32-bit draw per site feeds BOTH color
         # updates (lo16 -> red, hi16 -> black).
+        # seed_ref[2]/[3] carry the shard's global row-group offset and the
+        # GLOBAL group count (== R_global/8): on a spatially-sharded lattice
+        # the group key and its wrap are global, which is exactly what makes
+        # shard boundaries indistinguishable from band boundaries.
         gpb = BR // 8  # row groups per band (BR divisible by 8)
-        total_groups = nb * gpb
+        goff = seed_ref[2]
+        total_groups = seed_ref[3]
         draws = []
         for j in range(gpb + 2):
-            g = (i * gpb - 1 + j) % total_groups
+            g = (goff + i * gpb - 1 + j) % total_groups
             pltpu.prng_seed(seed_ref[0], seed_ref[1] * total_groups + g)
             draws.append(pltpu.prng_random_bits((8, C2)))
         # Row 0 of buf = global row i*BR - 8.
@@ -216,10 +224,15 @@ def _fused_sweep_kernel(
 
     if not periodic:
         # Out-of-lattice extension rows must read as 0 for the black update.
+        # seed_ref[4]/[5] flag whether this program's band 0 / band nb-1 sit
+        # at the GLOBAL lattice boundary (always 1 unsharded; per-shard
+        # axis_index tests under spatial sharding).
         grow = jax.lax.broadcasted_iota(jnp.int32, (BR + 2, C2), 0)
-        red_ext = jnp.where((i == 0) & (grow == 0), 0.0, red_ext).astype(dtype)
         red_ext = jnp.where(
-            (i == nb - 1) & (grow == BR + 1), 0.0, red_ext
+            (seed_ref[4] > 0) & (i == 0) & (grow == 0), 0.0, red_ext
+        ).astype(dtype)
+        red_ext = jnp.where(
+            (seed_ref[5] > 0) & (i == nb - 1) & (grow == BR + 1), 0.0, red_ext
         ).astype(dtype)
 
     red_out_ref[:] = red_ext[1:-1, :].astype(red_out_ref.dtype)
@@ -261,6 +274,10 @@ def fused_sweep_pallas(
     uniforms: jax.Array | None = None,
     band_rows: int | None = None,
     interpret: bool = False,
+    up2: jax.Array | None = None,
+    down2: jax.Array | None = None,
+    shard_info=None,
+    uniforms_halo=None,
 ):
     """One full checkerboard sweep (red then black) in a single pallas_call.
 
@@ -272,15 +289,41 @@ def fused_sweep_pallas(
     [0, 2^16) replacing the hardware PRNG ([0] -> red update, [1] -> black);
     ``band_rows`` overrides the row-band height (CI tests use small bands to
     exercise multi-band boundary consistency on small lattices).
+
+    Spatial-sharding support (tsu_tpu/parallel/lattice.py): when this call
+    runs on a SHARD of a row-sharded lattice,
+      * ``up2``/``down2`` are the (2, C2) external black halo rows (global
+        rows start-2, start-1 / end, end+1) delivered by ppermute (zeroed
+        for an open global boundary) — they replace the in-plane wrap;
+      * ``shard_info`` = (group_offset, total_groups, is_top, is_bot)
+        traced int32 scalars: this shard's first global row group
+        (row_start/8), the GLOBAL group count (R_global/8), and whether the
+        shard owns the global top/bottom boundary (open lattices only);
+      * ``uniforms_halo`` = (u_red_top, u_red_bot), each (1, C2): injected
+        red-update uniforms of global rows start-1 / end (deterministic
+        mode only), owned/stored by the neighboring shards.
+    The row-group-keyed in-kernel PRNG then regenerates the red extension
+    rows bit-identically to the rows the neighbor shards store, so shard
+    boundaries are indistinguishable from in-shard band boundaries.
     """
     R, C2 = black.shape
     BR = band_rows or _pick_band(R, C2, black.dtype.itemsize)
     nblocks = R // BR
+    assert (up2 is None) == (down2 is None), (
+        "up2 and down2 must be given together"
+    )
+    ext_halo = up2 is not None
 
     # Black halo tiles per band: rows (i*BR-2, i*BR-1) and ((i+1)*BR, +1),
-    # wrapped for periodic lattices, zeroed at open boundaries. Built as
-    # (nblocks*8, C2) so each (8, C2) block satisfies sublane tiling.
-    top2 = jnp.roll(black, 2, axis=0)[0:2]          # rows -2, -1 (wrapped)
+    # wrapped for periodic lattices (or supplied by the sharded caller),
+    # zeroed at open boundaries. Built as (nblocks*8, C2) so each (8, C2)
+    # block satisfies sublane tiling.
+    if ext_halo:
+        top2 = up2.astype(black.dtype).reshape(2, C2)
+        bot2 = down2.astype(black.dtype).reshape(2, C2)
+    else:
+        top2 = jnp.roll(black, 2, axis=0)[0:2]      # rows -2, -1 (wrapped)
+        bot2 = black[0:2]                           # wrap rows 0, 1
     if nblocks > 1:
         ups = jnp.concatenate(
             [top2[None], jnp.stack([black[i * BR - 2 : i * BR]
@@ -289,14 +332,16 @@ def fused_sweep_pallas(
         downs = jnp.concatenate(
             [jnp.stack([black[(i + 1) * BR : (i + 1) * BR + 2]
                         for i in range(nblocks - 1)]),
-             black[None, 0:2]], axis=0  # last block wraps to rows 0,1
+             bot2[None]], axis=0
         )
     else:
         ups = top2[None]
-        downs = black[None, 0:2]
+        downs = bot2[None]
 
-    if not periodic:
-        # Zero the halo rows that would wrap around the lattice.
+    if not periodic and not ext_halo:
+        # Zero the halo rows that would wrap around the lattice. (The
+        # sharded caller zeroes its ppermute'd halos at the global boundary
+        # itself.)
         ups = ups.at[0].set(0.0)
         downs = downs.at[-1].set(0.0)
 
@@ -319,7 +364,14 @@ def fused_sweep_pallas(
 
     seed = jnp.asarray(seed, dtype=jnp.int32).reshape(-1)
     sweep = seed[1] if seed.shape[0] > 1 else jnp.int32(0)
-    seed = jnp.stack([fold_seed(seed[0]), jnp.asarray(sweep, jnp.int32)])
+    if shard_info is None:
+        # Unsharded: this call covers the whole lattice, groups 0..R/8.
+        shard_info = (0, R // 8, 1, 1)
+    goff, tgroups, is_top, is_bot = (
+        jnp.asarray(v, jnp.int32) for v in shard_info
+    )
+    seed = jnp.stack([fold_seed(seed[0]), jnp.asarray(sweep, jnp.int32),
+                      goff, tgroups, is_top, is_bot])
     inputs = [
         seed,
         sigmoid_table16(J, field, temperature),
@@ -332,9 +384,16 @@ def fused_sweep_pallas(
         u_red_full, u_black = uniforms[0], uniforms[1]
         # Red-extension uniforms as one-row 8-tiles: global rows i*BR-1 and
         # (i+1)*BR of u_red (wrapped; irrelevant rows are masked for open
-        # boundaries by the kernel's extension-row zeroing).
-        tops = jnp.stack([u_red_full[(i * BR - 1) % R] for i in range(nblocks)])
-        bots = jnp.stack([u_red_full[((i + 1) * BR) % R] for i in range(nblocks)])
+        # boundaries by the kernel's extension-row zeroing). A sharded
+        # caller supplies the two boundary rows (owned by its neighbors)
+        # via ``uniforms_halo``.
+        top_rows = [u_red_full[(i * BR - 1) % R] for i in range(nblocks)]
+        bot_rows = [u_red_full[((i + 1) * BR) % R] for i in range(nblocks)]
+        if uniforms_halo is not None:
+            top_rows[0] = jnp.asarray(uniforms_halo[0], jnp.int32).reshape(C2)
+            bot_rows[-1] = jnp.asarray(uniforms_halo[1], jnp.int32).reshape(C2)
+        tops = jnp.stack(top_rows)
+        bots = jnp.stack(bot_rows)
         zpad = jnp.zeros((nblocks, 7, C2), jnp.int32)
         tops = jnp.concatenate([tops[:, None, :], zpad], axis=1).reshape(
             nblocks * 8, C2

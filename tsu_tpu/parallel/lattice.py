@@ -58,6 +58,26 @@ def _halo_exchange(plane, axis_name: str, periodic: bool):
     return up_row, down_row
 
 
+def _halo_exchange2(plane, axis_name: str, periodic: bool):
+    """Two-row halo exchange for the FUSED sharded path.
+
+    The fused kernel consumes 2-row black halos (global rows start-2,
+    start-1 above and end, end+1 below) because it recomputes a one-row red
+    extension on each side of every band. Returns (up2, down2), each
+    (2, C2); zeroed at the global boundary for open lattices.
+    """
+    n = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    fwd = [(i, (i + 1) % n) for i in range(n)]
+    bwd = [(i, (i - 1) % n) for i in range(n)]
+    up2 = jax.lax.ppermute(plane[-2:, :], axis_name, fwd)
+    down2 = jax.lax.ppermute(plane[:2, :], axis_name, bwd)
+    if not periodic:
+        up2 = jnp.where(idx == 0, 0.0, up2)
+        down2 = jnp.where(idx == n - 1, 0.0, down2)
+    return up2, down2
+
+
 def _halo_exchange_cols(plane, axis_name: str, periodic: bool):
     """Column analog of :func:`_halo_exchange` on compact color planes.
 
@@ -138,6 +158,54 @@ def _make_local_halfstep(
     return one_halfstep
 
 
+def _make_local_fused_sweep(axis_name, periodic, J, field):
+    """Build the per-shard FULL sweep on the fused kernel: one 2-row halo
+    exchange + ONE kernel launch per sweep per shard — the same program the
+    single-chip headline runs (ops/checkerboard_fused.py), so the sharded
+    path pays only the ppermute, not a slower kernel (r3 verdict weak #1:
+    the streaming 2-launch path ran at ~24% of the fused headline).
+
+    Shard boundaries ride the kernel's row-group-keyed PRNG: every shard
+    passes the SAME base seed plus its global row-group offset, so the red
+    extension rows recomputed at a shard edge are bit-identical to the rows
+    the neighbor shard stores.
+    """
+    from tsu_tpu.ops.checkerboard_fused import fused_sweep_pallas
+
+    def one_sweep(base, sweep_idx, red_l, black_l, T, u=None):
+        n = jax.lax.axis_size(axis_name)
+        idx = jax.lax.axis_index(axis_name)
+        gpb_shard = red_l.shape[0] // 8
+        shard_info = (
+            idx * gpb_shard,
+            n * gpb_shard,
+            (idx == 0).astype(jnp.int32),
+            (idx == n - 1).astype(jnp.int32),
+        )
+        up2, down2 = _halo_exchange2(black_l, axis_name, periodic)
+        u_halo = None
+        if u is not None:
+            # Red-update uniforms of the extension rows (global rows
+            # start-1 / end) are stored by the neighbor shards; wrap-permute
+            # them alongside the spin halos. (At an open global boundary
+            # the kernel zeroes those extension rows, so the wrapped values
+            # are never read into the lattice.)
+            fwd = [(i, (i + 1) % n) for i in range(n)]
+            bwd = [(i, (i - 1) % n) for i in range(n)]
+            u_halo = (
+                jax.lax.ppermute(u[0][-1:, :], axis_name, fwd),
+                jax.lax.ppermute(u[0][:1, :], axis_name, bwd),
+            )
+        return fused_sweep_pallas(
+            jnp.stack([base, sweep_idx]), red_l, black_l, T,
+            J=J, field=field, periodic=periodic,
+            up2=up2, down2=down2, shard_info=shard_info,
+            uniforms=u, uniforms_halo=u_halo,
+        )
+
+    return one_sweep
+
+
 def _local_observables(red, black, axis_name, periodic, J, field, col_axis=None):
     """Per-shard (M, E) partial sums reduced with psum over the mesh axes.
 
@@ -145,7 +213,9 @@ def _local_observables(red, black, axis_name, periodic, J, field, col_axis=None)
     upper row / left column (its "down"/"right" bond), delivered by halo
     exchange of the merged local lattice's first row / column.
     """
-    lat = merge_checkerboard(red, black)
+    # f32 accumulation: the fused path stores bf16 planes, and summing
+    # millions of +-1 spins in bf16 would lose whole integer counts.
+    lat = merge_checkerboard(red, black).astype(jnp.float32)
     n = jax.lax.axis_size(axis_name)
     idx = jax.lax.axis_index(axis_name)
     fwd = [(i, (i - 1) % n) for i in range(n)]
@@ -177,7 +247,7 @@ def _local_observables(red, black, axis_name, periodic, J, field, col_axis=None)
 
 @lru_cache(maxsize=64)
 def _sharded_sweeps_fn(mesh, n_sweeps, J, field, periodic, use_pallas,
-                       axis_name, col_axis):
+                       axis_name, col_axis, fused):
     """Build + jit the sharded sweeps program ONCE per static configuration.
 
     The r3 scaling run exposed ~200 ms of Python re-trace per call when the
@@ -187,6 +257,37 @@ def _sharded_sweeps_fn(mesh, n_sweeps, J, field, periodic, use_pallas,
     """
     spec = P(axis_name, col_axis)
     uspec = P(None, None, axis_name, col_axis)
+    if fused:
+        local_fused = _make_local_fused_sweep(axis_name, periodic, J, field)
+
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(P(), spec, spec, P(), uspec),
+            out_specs=(spec, spec),
+            check_vma=False,
+        )
+        def run(key, red_l, black_l, T, uniforms_l):
+            # The fused kernel's row-group-keyed PRNG requires the SAME base
+            # seed on every shard (streams are decorrelated by global row
+            # group, and boundary bit-equality depends on shards agreeing);
+            # the replicated key gives exactly that. No shard fold here.
+            base = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
+
+            def body(carry, inp):
+                red_l, black_l = carry
+                sweep_idx, u = inp
+                red_l, black_l = local_fused(
+                    base, sweep_idx, red_l, black_l, T, u)
+                return (red_l, black_l), None
+
+            (red_l, black_l), _ = jax.lax.scan(
+                body, (red_l, black_l), (jnp.arange(n_sweeps), uniforms_l)
+            )
+            return red_l, black_l
+
+        return jax.jit(run)
+
     local_halfstep = _make_local_halfstep(
         axis_name, periodic, use_pallas, J, field, col_axis
     )
@@ -248,21 +349,40 @@ def sharded_checkerboard_sweeps(
     axis_name: str = "row",
     col_axis: str | None = None,
     uniforms: jax.Array | None = None,
+    fused: bool | None = None,
 ):
     """n_sweeps full sweeps on compact color planes sharded over ``axis_name``
     (rows) and optionally ``col_axis`` (compact columns — 2-D sharding).
 
     ``red``/``black`` have global shape (R, C/2), sharded
     (axis_name, col_axis). Returns updated (red, black), same sharding.
-    ``uniforms``: optional (n_sweeps, 2, R, C2) int32 in [0, 2^24), sharded
-    like the planes — deterministic mode for the Pallas path
-    (interpret-mode CI equality tests of kernel + halo exchange together).
+    ``uniforms``: optional (n_sweeps, 2, R, C2) int32, sharded like the
+    planes — deterministic mode for the Pallas paths (interpret-mode CI
+    equality tests of kernel + halo exchange together). Values are in
+    [0, 2^24) for the streaming kernel, [0, 2^16) for the fused kernel.
+
+    ``fused``: run the single-launch fused kernel per sweep (the single-chip
+    headline program) instead of the 2-launch streaming kernel. Default
+    (None) auto-selects it whenever it applies: Pallas path, row-only
+    sharding, shards a multiple of 8 rows, no injected uniforms (injected
+    callers choose the kernel explicitly because the two consume different
+    uniform widths).
     """
     n_shards = mesh.shape[axis_name]
     R, C2 = red.shape
     assert R % n_shards == 0 and (R // n_shards) % 2 == 0, (
         f"rows per shard must be even: R={R}, shards={n_shards}"
     )
+    if fused is None:
+        fused = (use_pallas and col_axis is None and uniforms is None
+                 and (R // n_shards) % 8 == 0)
+    if fused:
+        assert use_pallas, "fused path is a Pallas kernel"
+        assert col_axis is None, "fused path supports row sharding only"
+        assert (R // n_shards) % 8 == 0, (
+            f"fused path needs rows-per-shard % 8 == 0: R={R}, "
+            f"shards={n_shards}"
+        )
     if col_axis is not None:
         assert C2 % mesh.shape[col_axis] == 0, (
             f"compact columns must divide evenly: C/2={C2}, "
@@ -273,7 +393,7 @@ def sharded_checkerboard_sweeps(
     # combination loudly.
     assert uniforms is None or use_pallas, "uniforms require the pallas path"
     fn = _sharded_sweeps_fn(mesh, n_sweeps, float(J), float(field), periodic,
-                            use_pallas, axis_name, col_axis)
+                            use_pallas, axis_name, col_axis, fused)
     if uniforms is not None:
         uniforms = jax.device_put(
             jnp.asarray(uniforms, jnp.int32),
@@ -298,6 +418,8 @@ def sharded_lattice_sample(
     use_pallas: bool = False,
     axis_name: str = "row",
     col_axis: str | None = None,
+    fused: bool | None = None,
+    dtype=None,
 ):
     """Sample observables from a spatially-sharded lattice in ONE compiled
     program (row sharding, or 2-D row×column sharding when ``col_axis`` is
@@ -306,21 +428,38 @@ def sharded_lattice_sample(
     Returns dict of per-sample global magnetization (per spin) and energy plus
     the final sharded planes. Full states stay sharded on device; only
     (n_samples,) scalars come back.
+
+    ``fused`` (default auto, see :func:`sharded_checkerboard_sweeps`) runs
+    the single-launch fused kernel per sweep. ``dtype`` sets the plane
+    storage dtype: default bfloat16 on the fused path (the headline-kernel
+    configuration; +-1 spins are exact in bf16, observables accumulate in
+    f32), float32 otherwise.
     """
     n_shards = mesh.shape[axis_name]
     R, C = lattice0.shape
     assert R % n_shards == 0 and (R // n_shards) % 2 == 0, (
         f"rows per shard must be even: R={R}, shards={n_shards}"
     )
+    if fused is None:
+        fused = (use_pallas and col_axis is None
+                 and (R // n_shards) % 8 == 0)
+    if fused:
+        assert use_pallas and col_axis is None
+        assert (R // n_shards) % 8 == 0, (
+            f"fused path needs rows-per-shard % 8 == 0: R={R}, "
+            f"shards={n_shards}"
+        )
     if col_axis is not None:
         assert (C // 2) % mesh.shape[col_axis] == 0, (
             f"compact columns must divide evenly: C/2={C // 2}, "
             f"shards={mesh.shape[col_axis]}"
         )
+    if dtype is None:
+        dtype = jnp.bfloat16 if fused else jnp.float32
     fn = _sharded_sample_fn(mesh, n_samples, n_burnin, n_sweeps, float(J),
                             float(field), periodic, use_pallas, axis_name,
-                            col_axis)
-    red, black = split_checkerboard(jnp.asarray(lattice0, dtype=jnp.float32))
+                            col_axis, fused)
+    red, black = split_checkerboard(jnp.asarray(lattice0, dtype=dtype))
     sharding = NamedSharding(mesh, P(axis_name, col_axis))
     red = jax.device_put(red, sharding)
     black = jax.device_put(black, sharding)
@@ -335,13 +474,16 @@ def sharded_lattice_sample(
 
 @lru_cache(maxsize=64)
 def _sharded_sample_fn(mesh, n_samples, n_burnin, n_sweeps, J, field,
-                       periodic, use_pallas, axis_name, col_axis):
+                       periodic, use_pallas, axis_name, col_axis, fused):
     """Cached jitted builder for :func:`sharded_lattice_sample` (one trace
     per static configuration; temperature is an argument)."""
     spec = P(axis_name, col_axis)
-    local_halfstep = _make_local_halfstep(
-        axis_name, periodic, use_pallas, J, field, col_axis
-    )
+    if fused:
+        local_fused = _make_local_fused_sweep(axis_name, periodic, J, field)
+    else:
+        local_halfstep = _make_local_halfstep(
+            axis_name, periodic, use_pallas, J, field, col_axis
+        )
 
     @partial(
         shard_map,
@@ -357,14 +499,18 @@ def _sharded_sample_fn(mesh, n_samples, n_burnin, n_sweeps, J, field,
             shard = shard * jax.lax.axis_size(col_axis) + jax.lax.axis_index(col_axis)
             n_sites = n_sites * jax.lax.axis_size(col_axis)
         # Folded-identity + sweep-counter seed schedule — see
-        # _sharded_sweeps_fn.
+        # _sharded_sweeps_fn. The fused path keeps the base replicated (no
+        # shard fold): its streams are keyed by global row group.
         base = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
-        key = jax.random.fold_in(key, shard)
+        if not fused:
+            key = jax.random.fold_in(key, shard)
 
         def sweeps(carry, step_base, k, n):
             def body(c, inp):
                 red_l, black_l = c
                 i, kk = inp
+                if fused:
+                    return local_fused(base, i, red_l, black_l, T), None
                 k_r, k_b = jax.random.split(kk)
                 sc = shard * 2
                 red_l = local_halfstep(

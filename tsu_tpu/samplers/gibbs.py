@@ -360,6 +360,9 @@ class GibbsSampler:
         # device the consumer runs on. Reproducible: seed -> PCG64 stream.
         self._seed_rng = np.random.default_rng(seed)
         self.sample_count = 0
+        # Which execution path the last sample_boltzmann call took:
+        # "native_cpp" | "xla_iid_host" | "xla" (None before the first call).
+        self.last_route: Optional[str] = None
 
     def _next_key(self):
         return jax.random.key(int(self._seed_rng.integers(0, 2**63 - 1)))
@@ -438,11 +441,15 @@ class GibbsSampler:
         # Tiny coupled models route to the native C++ host sampler: the
         # whole job is ~1e6 flops while one tunneled-accelerator dispatch
         # costs ~50 ms. Site-ordered sweeps (per-sweep random permutation
-        # for "random") — the exact reference chain; "checkerboard" shares
-        # the invariant distribution, so the host path is a pure win there
-        # too. The compiled engines own everything larger.
+        # for "random") — the exact reference chain. GATED to the
+        # sequential-scan orders: a "checkerboard" request must get the
+        # colored-block chain everywhere — the native library loading (or
+        # not) must never silently change which Markov chain a given
+        # update_order runs (r3 advisor #1). ``last_route`` records the
+        # path actually taken for every call.
         flops = (cfg.n_burnin + per_chain * cfg.n_sweeps) * n_chains * n * n
-        if not iid and initial_state is None and flops < 1e8:
+        if (not iid and initial_state is None and flops < 1e8
+                and cfg.update_order in ("sequential", "random")):
             from tsu_tpu.native import gibbs_dense_native
 
             out = gibbs_dense_native(
@@ -454,8 +461,10 @@ class GibbsSampler:
             )
             if out is not None:
                 self.sample_count += n_samples
+                self.last_route = "native_cpp"
                 return out
-        with _host_device_ctx(iid and n_chains * per_chain * n < (1 << 22)):
+        on_host = iid and n_chains * per_chain * n < (1 << 22)
+        with _host_device_ctx(on_host):
             key = self._next_key()
             if initial_state is not None:
                 x0 = jnp.tile(jnp.asarray(initial_state, dtype=jnp.float32),
@@ -477,6 +486,7 @@ class GibbsSampler:
             )
         out = np.asarray(samples).transpose(1, 0, 2).reshape(-1, n)[:n_samples]
         self.sample_count += n_samples
+        self.last_route = "xla_iid_host" if on_host else "xla"
         return out
 
     def compute_energy(self, state, coupling, bias=None) -> float:
