@@ -6,9 +6,9 @@ Baseline: the reference emulator's implied bit-update throughput, ~4.4e5
 flips/s (4,377 samples/s x 10 sweeps x 10 bits — BASELINE.md / SURVEY.md §6).
 North-star target: >= 1e10 flips/s/chip (BASELINE.json).
 
-Backend selection: fused Pallas checkerboard kernel on TPU (one launch per
-500 sweeps — dispatch through the tunneled runtime costs milliseconds, so
-deep sweeps per launch are mandatory), XLA checkerboard path elsewhere.
+Backend selection: fused Pallas checkerboard kernel on TPU (thousands of
+sweeps per launch — each dispatch through the tunneled runtime costs
+~35 ms, so deep launches are mandatory), XLA checkerboard path elsewhere.
 
 Methodology: the tunneled single chip shows run-to-run contention of +-40%,
 so the TPU measurement repeats and reports the best trial (closest to true
@@ -61,7 +61,11 @@ def main():
         try:
             from tsu_tpu.ops.checkerboard_fused import fused_sweeps
 
-            S = 500  # sweeps per launch: amortizes dispatch + compile reuse
+            # Sweeps per launch: the r4 device trace shows the kernel loop
+            # runs at ~1.3e11 flips/s on-chip while each launch pays ~35 ms
+            # of tunneled-runtime dispatch — at S=500 that tax cost ~30% of
+            # wall (9.2e10); S=5000 amortizes it to ~3% (1.25e11 measured).
+            S = 5000
 
             def pallas_step(red, black, i):
                 return fused_sweeps(
@@ -100,19 +104,32 @@ def main():
             Jv = jnp.where(jax.random.bernoulli(jax.random.fold_in(kb, 1),
                                                 0.5, (R, C)), 1.0, -1.0)
             weights = color_bond_weights(Jh, Jv, 0.0, periodic=True)
-            Sb = 100
+            # bf16 weight planes: +-1 bonds and the zero field are EXACT in
+            # bf16, and the 4 weight planes dominate this kernel's HBM
+            # traffic — storing them half-width roughly doubles the
+            # bandwidth roofline (r3 verdict #5).
+            weights = {
+                color: tuple(jnp.asarray(w, jnp.bfloat16) for w in planes)
+                for color, planes in weights.items()
+            }
+            # Launch-depth amortization matters here too: Sb=100 measured
+            # 3.4e10 against 6.5e10 at Sb=1000 (same ~35 ms dispatch tax).
+            Sb = 1000
 
             def bond_step(red, black, i):
+                # discrete=True: +-1 bonds with zero field keep the local
+                # field on the 9 integers -4..4, so the heat-bath runs on
+                # the int24 threshold table instead of a per-site sigmoid.
                 return checkerboard_sweeps_bonds_pallas(
                     jnp.int32(1 + i), red, black, weights, 1.2, Sb,
-                    periodic=True,
+                    periodic=True, discrete=True,
                 )
 
-            planes32 = split_checkerboard(jnp.ones((R, C), dtype=jnp.float32))
+            planes16b = split_checkerboard(jnp.ones((R, C), dtype=jnp.bfloat16))
             best = 0.0
             for _trial in range(3):
                 try:
-                    best = max(best, _throughput(bond_step, planes32,
+                    best = max(best, _throughput(bond_step, planes16b,
                                                  n_iters=3,
                                                  n_sweeps_per_iter=Sb))
                 except Exception as e:  # noqa: BLE001 — transient tunnel fault

@@ -324,3 +324,99 @@ def test_fused_sharded_bf16_matches_f32():
         )
     assert jnp.array_equal(jnp.asarray(r32), jnp.asarray(r16).astype(jnp.float32))
     assert jnp.array_equal(jnp.asarray(b32), jnp.asarray(b16).astype(jnp.float32))
+
+
+def test_bond_kernel_bf16_weights_exact():
+    """bf16 weight planes (+-J exact in bf16) must sample the identical
+    configuration as f32 weights — the EA kernel's bandwidth-roofline
+    configuration (r3 verdict #5)."""
+    from tsu_tpu.ops.checkerboard_bonds import color_bond_weights
+    from tsu_tpu.ops.checkerboard_bonds_pallas import (
+        checkerboard_sweeps_bonds_pallas,
+    )
+
+    R = C = 16
+    key = jax.random.key(20)
+    Jh = jnp.where(jax.random.bernoulli(jax.random.fold_in(key, 0), 0.5,
+                                        (R, C)), 1.0, -1.0)
+    Jv = jnp.where(jax.random.bernoulli(jax.random.fold_in(key, 1), 0.5,
+                                        (R, C)), 1.0, -1.0)
+    weights = color_bond_weights(Jh, Jv, 0.0, periodic=True)
+    weights16 = {
+        color: tuple(jnp.asarray(w, jnp.bfloat16) for w in planes)
+        for color, planes in weights.items()
+    }
+    red, black = _random_planes(jax.random.key(21), R, C)
+    U = jax.random.randint(jax.random.key(22), (2, 2, R, C // 2),
+                           0, 1 << 24, jnp.int32)
+    with pltpu.force_tpu_interpret_mode():
+        r32, b32 = checkerboard_sweeps_bonds_pallas(
+            jnp.int32(0), red, black, weights, 1.5, 2, periodic=True,
+            uniforms=U,
+        )
+        r16, b16 = checkerboard_sweeps_bonds_pallas(
+            jnp.int32(0), red.astype(jnp.bfloat16),
+            black.astype(jnp.bfloat16), weights16, 1.5, 2, periodic=True,
+            uniforms=U,
+        )
+    assert jnp.array_equal(jnp.asarray(r32), jnp.asarray(r16).astype(jnp.float32))
+    assert jnp.array_equal(jnp.asarray(b32), jnp.asarray(b16).astype(jnp.float32))
+
+
+@pytest.mark.parametrize("periodic", [True, False])
+def test_bond_kernel_discrete_table_exact(periodic):
+    """The +-J discrete fast path (int24 threshold table instead of a
+    per-site sigmoid) must reproduce the table-thresholded oracle exactly
+    — including odd local-field values at open boundaries."""
+    from tsu_tpu.ops.checkerboard_bonds import (
+        _neighbor_values,
+        color_bond_weights,
+    )
+    from tsu_tpu.ops.checkerboard_bonds_pallas import (
+        checkerboard_sweeps_bonds_pallas,
+    )
+    from tsu_tpu.ops.checkerboard_fused import sigmoid_table
+
+    R = C = 16
+    T = 1.3
+    key = jax.random.key(30)
+    Jh = jnp.where(jax.random.bernoulli(jax.random.fold_in(key, 0), 0.5,
+                                        (R, C)), 1.0, -1.0)
+    Jv = jnp.where(jax.random.bernoulli(jax.random.fold_in(key, 1), 0.5,
+                                        (R, C)), 1.0, -1.0)
+    weights = color_bond_weights(Jh, Jv, 0.0, periodic=periodic)
+    weights16 = {
+        color: tuple(jnp.asarray(w, jnp.bfloat16) for w in planes)
+        for color, planes in weights.items()
+    }
+    red, black = _random_planes(jax.random.key(31), R, C)
+    n_sweeps = 2
+    U = jax.random.randint(jax.random.key(32), (n_sweeps, 2, R, C // 2),
+                           0, 1 << 24, jnp.int32)
+    table = sigmoid_table(1.0, 0.0, T)
+
+    def oracle_half(other, color_w, update_red, u24):
+        if periodic:
+            up_row, down_row = other[-1:, :], other[:1, :]
+        else:
+            z = jnp.zeros_like(other[:1, :])
+            up_row, down_row = z, z
+        wu, wd, wl, wr, f = (jnp.asarray(w, jnp.float32) for w in color_w)
+        up, dn, lf, rt = _neighbor_values(other, up_row, down_row, update_red)
+        local = wu * up + wd * dn + wl * lf + wr * rt + f
+        thresh = table[local.astype(jnp.int32) + 4]
+        return jnp.where(u24 < thresh, 1.0, -1.0)
+
+    r_o, b_o = red, black
+    for s in range(n_sweeps):
+        r_o = oracle_half(b_o, weights["red"], True, U[s, 0])
+        b_o = oracle_half(r_o, weights["black"], False, U[s, 1])
+
+    with pltpu.force_tpu_interpret_mode():
+        r_k, b_k = checkerboard_sweeps_bonds_pallas(
+            jnp.int32(0), red.astype(jnp.bfloat16),
+            black.astype(jnp.bfloat16), weights16, T, n_sweeps,
+            periodic=periodic, uniforms=U, discrete=True,
+        )
+    assert jnp.array_equal(r_o, jnp.asarray(r_k).astype(jnp.float32))
+    assert jnp.array_equal(b_o, jnp.asarray(b_k).astype(jnp.float32))

@@ -143,7 +143,7 @@ class MLBenchmark:
                               time.perf_counter() - t0)
 
     def benchmark_sinusoid_mcmc(self, n_train: int = 100,
-                                n_epochs: int = 200) -> MLResult:
+                                n_epochs: int = 800) -> MLResult:
         """Full-Bayes row: MALA over the EXACT weight posterior
         (BNNPosterior via ``predict_mcmc``) on the same sinusoid split as
         the VI row — the framework's signature estimator benchmarked next
@@ -220,4 +220,9 @@ class MLBenchmark:
         # members train as one vmapped scan (~2 s), and under-trained
         # members sit away from their anchors, which skews OOD coverage.
         self.benchmark_extrapolation(n_epochs=2000)
+        # Full-Bayes MALA row: full mode only — the chains need their whole
+        # burn-in to equilibrate the 1.2k-dim weight posterior, and a
+        # half-budget row would report meaningless calibration.
+        if not quick:
+            self.benchmark_sinusoid_mcmc()
         return self.results

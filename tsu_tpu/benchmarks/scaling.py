@@ -187,7 +187,7 @@ def measure_lattice_scaling(
 
 def measure_lattice_matched(
     size: int = 4096,
-    n_sweeps: int = 500,
+    n_sweeps: int = 2500,
     n_iters: int = 3,
     seed: int = 0,
 ) -> dict:

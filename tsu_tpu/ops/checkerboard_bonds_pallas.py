@@ -35,7 +35,8 @@ _U24_SCALE = 1.0 / 16777216.0
 
 def _halfsweep_bonds_kernel(
     seed_ref,     # SMEM (2,) int32 — (folded identity, sweep counter)
-    t_ref,        # SMEM (1,) f32
+    t_ref,        # SMEM (1,) f32 — temperature, or (9,) int32 thresholds
+                  #   when ``discrete`` (see halfsweep_bonds_pallas)
     other_ref,    # VMEM (BR, C2) opposite-color center block
     up_ref,       # VMEM (8, C2) halo tile; row 0 = row above the block
     down_ref,     # VMEM (8, C2) halo tile; row 0 = row below the block
@@ -47,6 +48,7 @@ def _halfsweep_bonds_kernel(
     *rest,        # [u24_ref,] out_ref
     update_red: bool,
     injected: bool = False,
+    discrete: bool = False,
 ):
     if injected:
         u24_ref, out_ref = rest
@@ -71,22 +73,43 @@ def _halfsweep_bonds_kernel(
     left = jnp.where(pick, left_shift, other)
     right = jnp.where(pick, other, right_shift)
 
-    local = (wu_ref[:] * up + wd_ref[:] * down
-             + wl_ref[:] * left + wr_ref[:] * right + f_ref[:])
-    p_up = jax.nn.sigmoid(2.0 * local / t_ref[0])
+    # Weight planes load in their STORED dtype and widen to f32 for the
+    # field sum: +-J spin-glass couplings (and zero open-boundary pads) are
+    # exact in bf16, which halves the dominant HBM stream of this kernel
+    # (4 weight planes + field ~= 26 B/site in f32 -> ~14 B/site mixed).
+    local = (wu_ref[:].astype(jnp.float32) * up
+             + wd_ref[:].astype(jnp.float32) * down
+             + wl_ref[:].astype(jnp.float32) * left
+             + wr_ref[:].astype(jnp.float32) * right
+             + f_ref[:].astype(jnp.float32))
 
     if injected:
         u24 = u24_ref[:]
     else:
         bits = pltpu.bitcast(pltpu.prng_random_bits((BR, C2)), jnp.uint32)
         u24 = pltpu.bitcast(bits >> 8, jnp.int32)
-    u = u24.astype(jnp.float32) * _U24_SCALE
-    out_ref[:] = jnp.where(u < p_up, 1.0, -1.0).astype(out_ref.dtype)
+
+    if discrete:
+        # +-J / integer-field path: ``local`` takes only the 9 integer
+        # values -4..4 (exact in f32 and bf16), so the heat-bath draw is a
+        # pure int24 threshold compare against a precomputed 9-entry
+        # sigmoid table (t_ref) — no per-site transcendental. Same trick
+        # as the uniform fused kernel (checkerboard_fused._heatbath_table);
+        # open boundaries (a zeroed weight) just land on odd entries.
+        idx = local.astype(jnp.int32) + 4  # 0..8
+        thresh = jnp.full(local.shape, t_ref[0], dtype=jnp.int32)
+        for k in range(1, 9):
+            thresh = jnp.where(idx == k, t_ref[k], thresh)
+        out_ref[:] = jnp.where(u24 < thresh, 1.0, -1.0).astype(out_ref.dtype)
+    else:
+        p_up = jax.nn.sigmoid(2.0 * local / t_ref[0])
+        u = u24.astype(jnp.float32) * _U24_SCALE
+        out_ref[:] = jnp.where(u < p_up, 1.0, -1.0).astype(out_ref.dtype)
 
 
 @partial(
     jax.jit,
-    static_argnames=("update_red", "interpret", "block_rows"),
+    static_argnames=("update_red", "interpret", "block_rows", "discrete"),
 )
 def halfsweep_bonds_pallas(
     seed: jax.Array,
@@ -100,11 +123,19 @@ def halfsweep_bonds_pallas(
     interpret: bool = False,
     u24: jax.Array | None = None,
     block_rows: int | None = None,
+    discrete: bool = False,
 ) -> jax.Array:
     """One weighted color update given the opposite plane + halo rows.
 
     ``weights``: the 5-tuple (w_up, w_down, w_left, w_right, field) of
     (R, C2) planes from color_bond_weights for the color being updated.
+
+    ``discrete``: the +-J fast path — REQUIRES every weight in {-1, 0, +1}
+    and an integer-valued field plane, so the local field is one of the 9
+    integers -4..4 and the sigmoid becomes a precomputed int24 threshold
+    table (no per-site transcendental). The caller is responsible for the
+    integrality contract; results are exact to ~6e-8 in probability
+    (table quantization), same as the uniform fused kernel.
     """
     R, C2 = other.shape
     BR = block_rows or pick_block_rows(R, C2, 4, vmem_budget=2**19)
@@ -133,20 +164,28 @@ def halfsweep_bonds_pallas(
     sweep = parts[1] if len(parts) > 1 else jnp.int32(0)
     ident = [parts[0]] + parts[2:]
     seed = jnp.stack([fold_seed(*ident), jnp.asarray(sweep, jnp.int32)])
+    if discrete:
+        from tsu_tpu.ops.checkerboard_fused import sigmoid_table
+
+        t_arg = sigmoid_table(1.0, 0.0, temperature)  # (9,) int24 thresholds
+    else:
+        t_arg = jnp.asarray(temperature, dtype=jnp.float32).reshape(1)
     inputs = [
         seed,
-        jnp.asarray(temperature, dtype=jnp.float32).reshape(1),
+        t_arg,
         other,
         up_rows,
         down_rows,
-        *(jnp.asarray(w, jnp.float32) for w in weights),
+        # Weights keep their caller-chosen dtype (bf16 for exact +-J spin
+        # glasses — the roofline win; f32 for continuous couplings).
+        *(jnp.asarray(w) for w in weights),
     ]
     if u24 is not None:
         in_specs.append(blk)
         inputs.append(jnp.asarray(u24, jnp.int32))
 
     kernel = partial(_halfsweep_bonds_kernel, update_red=update_red,
-                     injected=u24 is not None)
+                     injected=u24 is not None, discrete=discrete)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((R, C2), other.dtype),
@@ -163,7 +202,8 @@ def halfsweep_bonds_pallas(
 
 @partial(
     jax.jit,
-    static_argnames=("n_sweeps", "periodic", "interpret", "block_rows"),
+    static_argnames=("n_sweeps", "periodic", "interpret", "block_rows",
+                     "discrete"),
 )
 def checkerboard_sweeps_bonds_pallas(
     seed: jax.Array,
@@ -177,11 +217,14 @@ def checkerboard_sweeps_bonds_pallas(
     interpret: bool = False,
     uniforms: jax.Array | None = None,
     block_rows: int | None = None,
+    discrete: bool = False,
 ):
     """n_sweeps full weighted sweeps via the Pallas bond kernel.
 
     ``weights``: dict from color_bond_weights. ``uniforms``: optional
     (n_sweeps, 2, R, C2) int32 in [0, 2^24) for deterministic CI tests.
+    ``discrete``: the +-J threshold-table fast path (weights must be in
+    {-1, 0, +1} with an integer field — see halfsweep_bonds_pallas).
     """
     seed = jnp.asarray(seed, dtype=jnp.int32)
 
@@ -200,6 +243,7 @@ def checkerboard_sweeps_bonds_pallas(
             temperature, black, up, down, weights["red"],
             update_red=True, interpret=interpret,
             u24=None if u is None else u[0], block_rows=block_rows,
+            discrete=discrete,
         )
         up, down = wrap(red)
         black = halfsweep_bonds_pallas(
@@ -207,6 +251,7 @@ def checkerboard_sweeps_bonds_pallas(
             temperature, red, up, down, weights["black"],
             update_red=False, interpret=interpret,
             u24=None if u is None else u[1], block_rows=block_rows,
+            discrete=discrete,
         )
         return (red, black), None
 
