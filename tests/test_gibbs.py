@@ -193,3 +193,39 @@ class TestSimulatedAnnealing:
         sampler = GibbsSampler(cfg, seed=0)
         sampler.simulated_annealing(np.zeros((3, 3)), n_steps=50)
         assert sampler.config.temperature == 1.7
+
+
+class TestRouteRecording:
+    """r3 advisor #1: the execution path must be observable, and a
+    "checkerboard" request must never silently take the native sequential
+    chain (the chosen Markov chain would then depend on whether the C++
+    library loads in a given environment)."""
+
+    def test_checkerboard_never_routes_native(self):
+        n = 8
+        J = np.zeros((n, n), np.float32)
+        for i in range(n - 1):
+            J[i, i + 1] = J[i + 1, i] = 0.5
+        sampler = GibbsSampler(
+            GibbsConfig(update_order="checkerboard", n_chains=4,
+                        n_burnin=10, n_sweeps=1), seed=0)
+        sampler.sample_boltzmann(J, n_samples=8)
+        assert sampler.last_route in ("xla", "xla_iid_host")
+
+    def test_sequential_tiny_route_recorded(self):
+        n = 8
+        J = np.zeros((n, n), np.float32)
+        for i in range(n - 1):
+            J[i, i + 1] = J[i + 1, i] = 0.5
+        sampler = GibbsSampler(
+            GibbsConfig(update_order="sequential", n_chains=4,
+                        n_burnin=10, n_sweeps=1), seed=0)
+        sampler.sample_boltzmann(J, n_samples=8)
+        # native when the C++ library loads, xla fallback otherwise —
+        # either way the route is recorded.
+        assert sampler.last_route in ("native_cpp", "xla")
+
+    def test_iid_route_recorded(self):
+        sampler = GibbsSampler(GibbsConfig(n_chains=4, n_burnin=5), seed=0)
+        sampler.sample_boltzmann(np.zeros((3, 3), np.float32), n_samples=8)
+        assert sampler.last_route == "xla_iid_host"

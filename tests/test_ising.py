@@ -1,6 +1,8 @@
 """Ising model tests: exact energies, corrected spin<->bit mapping (quirk Q1),
 observables, and phase behavior (reference pattern: tests/test_ising.py)."""
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -300,3 +302,52 @@ class TestPerBondCouplings:
         assert np.all(np.isfinite(out["energy"]))
         # spin glass: no ferromagnetic order
         assert np.all(np.abs(out["magnetization"]) < 0.2)
+
+
+class TestEnsembleSampler:
+    """Batched multi-temperature ensemble (models/lattice_sampler.py:
+    sample_grid_ensemble) — one program, per-member temperatures."""
+
+    def test_observable_shapes_and_physics(self):
+        from tsu_tpu.models.lattice_sampler import sample_grid_ensemble
+
+        Ts = jnp.array([1.0, 2.269, 4.0], jnp.float32)
+        out = sample_grid_ensemble(
+            jax.random.key(0), jnp.ones((3, 8, 8)), Ts,
+            n_samples=30, n_burnin=50, use_pallas=False,
+        )
+        m = np.asarray(out["magnetization"])
+        e = np.asarray(out["energy"])
+        assert m.shape == (30, 3) and e.shape == (30, 3)
+        # Cold member stays ordered; hot member disorders.
+        assert abs(m[:, 0].mean()) > 0.9
+        assert abs(m[:, 2].mean()) < 0.4
+        # Energy ordering follows temperature (colder = lower energy).
+        assert e[:, 0].mean() < e[:, 2].mean()
+
+    def test_members_are_decorrelated(self):
+        from tsu_tpu.models.lattice_sampler import sample_grid_ensemble
+
+        # Two members at the SAME temperature: magnetization traces must
+        # differ (member-indexed PRNG streams).
+        out = sample_grid_ensemble(
+            jax.random.key(1), jnp.ones((2, 8, 8)),
+            jnp.array([2.8, 2.8], jnp.float32),
+            n_samples=40, n_burnin=30, use_pallas=False,
+        )
+        m = np.asarray(out["magnetization"])
+        assert not np.allclose(m[:, 0], m[:, 1])
+
+    def test_phase_driver_ensemble_matches_loop(self):
+        """The ensemble phase-transition path and the per-T loop must agree
+        statistically (same physics, different batching)."""
+        from tsu_tpu.models.ising import demonstrate_phase_transition
+
+        Ts = np.array([1.2, 3.6])
+        a = demonstrate_phase_transition(sizes=[8], temperatures=Ts,
+                                         n_samples=40, seed=0, ensemble=True)
+        b = demonstrate_phase_transition(sizes=[8], temperatures=Ts,
+                                         n_samples=40, seed=3, ensemble=False)
+        for r in (a[8], b[8]):
+            assert r["magnetization"][0] > 0.9
+            assert r["magnetization"][1] < 0.45

@@ -420,3 +420,41 @@ def test_bond_kernel_discrete_table_exact(periodic):
         )
     assert jnp.array_equal(r_o, jnp.asarray(r_k).astype(jnp.float32))
     assert jnp.array_equal(b_o, jnp.asarray(b_k).astype(jnp.float32))
+
+
+@pytest.mark.parametrize("periodic", [True, False])
+def test_fused_batched_matches_unbatched(periodic):
+    """The batched ensemble kernel (grid (B, bands), per-lattice SMEM
+    seed/table rows) must reproduce the unbatched fused kernel
+    BIT-IDENTICALLY per element, each lattice at its own temperature.
+
+    Covers the batched band math, halo tiles, and per-lattice table
+    indexing. NOTE: interpret-mode prng_random_bits ignores the seed
+    (verified empirically), so per-lattice stream distinctness is asserted
+    on real hardware instead (tests/test_tpu_kernels.py)."""
+    from tsu_tpu.ops.checkerboard_fused import (
+        fused_sweeps,
+        fused_sweeps_batched,
+    )
+
+    B, R, C = 3, 16, 16
+    key = jax.random.key(40)
+    lats = jnp.where(jax.random.bernoulli(key, 0.5, (B, R, C)), 1.0, -1.0)
+    reds, blacks = jax.vmap(split_checkerboard)(lats)
+    Ts = jnp.array([1.8, 2.269, 3.2], jnp.float32)
+    seeds = jnp.array([101, 202, 303], jnp.int32)
+    n_sweeps = 2
+
+    with pltpu.force_tpu_interpret_mode():
+        rb, bb = fused_sweeps_batched(
+            seeds, reds, blacks, Ts, n_sweeps, periodic=periodic,
+            band_rows=8,
+        )
+        for b in range(B):
+            r1, b1 = fused_sweeps(
+                seeds[b], reds[b], blacks[b], Ts[b], n_sweeps,
+                periodic=periodic, band_rows=8,
+            )
+            assert jnp.array_equal(jnp.asarray(r1), jnp.asarray(rb[b])), b
+            assert jnp.array_equal(jnp.asarray(b1), jnp.asarray(bb[b])), b
+

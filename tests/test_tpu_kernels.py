@@ -252,3 +252,30 @@ def test_pallas_col_halo_mode_statistics_on_chip():
     m_x, e_x = collect(xla_step)
     assert m_s == pytest.approx(m_x, abs=0.02)
     assert e_s == pytest.approx(e_x, abs=0.03)
+
+
+@pytest.mark.tpu
+def test_fused_batched_distinct_streams_and_physics():
+    """Batched ensemble kernel on hardware: per-lattice seeds decorrelate
+    the streams (interpret mode cannot test this — its PRNG ignores the
+    seed), and every ensemble member's magnetization tracks its own
+    temperature across the transition."""
+    from tsu_tpu.ops.checkerboard import merge_checkerboard, split_checkerboard
+    from tsu_tpu.ops.checkerboard_fused import fused_sweeps_batched
+
+    B, R, C = 4, 256, 256
+    lats = jnp.ones((B, R, C), jnp.bfloat16)
+    reds, blacks = jax.vmap(split_checkerboard)(lats)
+    # Two lattices share T=1.5 (ordered), two at T=3.5 (disordered).
+    Ts = jnp.array([1.5, 1.5, 3.5, 3.5], jnp.float32)
+    seeds = jnp.array([11, 22, 33, 44], jnp.int32)
+    reds, blacks = fused_sweeps_batched(seeds, reds, blacks, Ts, 300,
+                                        periodic=True)
+    lat = jax.vmap(merge_checkerboard)(reds.astype(jnp.float32),
+                                       blacks.astype(jnp.float32))
+    m = np.asarray(jnp.mean(lat, axis=(1, 2)))
+    # Same T, different seeds: different configurations.
+    assert not np.array_equal(np.asarray(lat[0]), np.asarray(lat[1]))
+    # Physics per member.
+    assert abs(m[0]) > 0.9 and abs(m[1]) > 0.9, m
+    assert abs(m[2]) < 0.2 and abs(m[3]) < 0.2, m

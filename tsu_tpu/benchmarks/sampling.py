@@ -139,6 +139,7 @@ class SamplingBenchmark:
                 "kl_plugin": round(kl_plugin, 6),
                 "max_abs_z": round(zs["max_abs_z"], 2),
                 "mean_abs_z": round(zs["mean_abs_z"], 2),
+                "max_z_null_p": round(zs["max_z_null_p"], 3),
                 "warmup_time_s": round(warmup, 4),
                 "median_time_s": round(median_elapsed, 4),
                 "median_samples_per_s": round(n_samples / median_elapsed, 1),
@@ -170,11 +171,15 @@ class SamplingBenchmark:
         (cf. tsu/benchmarks/sampling.py:226-312).
 
         Statistical margin (r3 verdict #6): this is the hardest row — the
-        bimodal target autocorrelates the chains, so at 2k samples the
-        moment z-scores sat at ~2.5 against a 3-sigma gate (a seed-lottery
-        flake) and the plugin KL was dominated by estimator bias. 20k
-        samples cost ~30 ms at measured throughput and put typical
-        max_abs_z well under 1.5 with the calibrated/plugin KL gap closed.
+        bimodal target autocorrelates the chains. 20k samples (vs 2k) cost
+        ~100 ms at measured throughput, close the calibrated-vs-plugin KL
+        gap (plugin 0.025, calibrated ~0), and were used to verify the
+        sampler UNBIASED: site-mean errors shrink as 1/sqrt(n) across
+        seeds while max_abs_z follows the max-of-10-sites null (expected
+        ~1.5, >2.9 with ~8% probability — so max_abs_z alone is NOT a
+        tight gate; the reported ``max_z_null_p`` states how surprising
+        the observed max is, and the test-suite gate sits at 4.0 where the
+        null tail is ~6e-4).
         """
         J = np.full((n_spins, n_spins), 0.35, np.float32)
         np.fill_diagonal(J, 0.0)

@@ -582,29 +582,67 @@ def demonstrate_phase_transition(
     temperatures: Optional[np.ndarray] = None,
     n_samples: int = 64,
     seed: int = 0,
+    ensemble: Optional[bool] = None,
 ) -> dict:
     """Scan temperature across T_c ≈ 2.269 for several grid sizes
     (cf. tsu/models/ising.py:424-476).
 
     Returns {size: {"temperatures", "magnetization", "susceptibility",
-    "specific_heat"}}. Uses a fresh grid per (size, T) so runs stay
-    functional; on TPU each T point is one compiled scan.
+    "specific_heat"}}.
+
+    ``ensemble`` (default: auto — on whenever the size allows) runs ALL
+    temperature points of a size as ONE batched program: each T point is a
+    lattice in a fused-kernel ensemble (models/lattice_sampler.py:
+    sample_grid_ensemble), so the whole scan is n_samples batched launches
+    instead of a Python loop of per-T compiled scans. ``ensemble=False``
+    restores the per-T ``IsingGrid.sample`` path.
     """
     if temperatures is None:
         temperatures = np.linspace(0.5, 4.0, 15)
     T_c = 2.0 / np.log(1.0 + np.sqrt(2.0))  # Onsager, ≈2.269
     results = {}
     for idx, size in enumerate(sizes):
+        use_ensemble = ensemble if ensemble is not None else size % 8 == 0
+        if use_ensemble:
+            from tsu_tpu.models.lattice_sampler import sample_grid_ensemble
+
+            B = len(temperatures)
+            # Ordered start below T_c: a random cold quench freezes into
+            # metastable stripe states (|M|≈0, chi≈0); starting from the
+            # ground state samples the equilibrium ordered phase instead.
+            # Above T_c the chain disorders within burn-in either way.
+            key = jax.random.key(seed + idx)
+            rand = jnp.where(
+                jax.random.bernoulli(key, 0.5, (B, size, size)), 1.0, -1.0
+            )
+            Ts = jnp.asarray(np.asarray(temperatures, np.float32))
+            lat0 = jnp.where((Ts < T_c)[:, None, None], 1.0, rand)
+            out = sample_grid_ensemble(
+                jax.random.fold_in(key, 1), lat0, Ts,
+                n_samples=n_samples, n_burnin=200, n_sweeps=2,
+                periodic=True,
+                use_pallas=jax.default_backend() == "tpu",
+            )
+            m = np.asarray(out["magnetization"])  # (n_samples, B), per spin
+            e = np.asarray(out["energy"])         # (n_samples, B), total
+            n_spins = size * size
+            Tn = np.asarray(temperatures, np.float64)
+            results[size] = {
+                "temperatures": np.asarray(temperatures),
+                "magnetization": np.abs(m.mean(axis=0)),
+                "susceptibility": (m**2).mean(axis=0) * n_spins / Tn
+                - m.mean(axis=0) ** 2 * n_spins / Tn,
+                "specific_heat": ((e**2).mean(axis=0) - e.mean(axis=0) ** 2)
+                / (Tn**2 * n_spins),
+            }
+            continue
         mags, chis, cs = [], [], []
         grid = IsingGrid((size, size), coupling_strength=1.0, periodic=True,
                          seed=seed + idx,
                          config=IsingConfig(n_burnin=200, n_sweeps=2))
         ordered = np.ones(size * size, dtype=np.float32)
         for T in temperatures:
-            # Ordered start below T_c: a random cold quench freezes into
-            # metastable stripe states (|M|≈0, chi≈0); starting from the
-            # ground state samples the equilibrium ordered phase instead.
-            # Above T_c the chain disorders within burn-in either way.
+            # See the ensemble branch for the ordered-start rationale.
             init = ordered if T < T_c else None
             samples = grid.sample(n_samples=n_samples, temperature=float(T),
                                   initial_state=init)

