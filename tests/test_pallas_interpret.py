@@ -458,3 +458,26 @@ def test_fused_batched_matches_unbatched(periodic):
             assert jnp.array_equal(jnp.asarray(r1), jnp.asarray(rb[b])), b
             assert jnp.array_equal(jnp.asarray(b1), jnp.asarray(bb[b])), b
 
+
+
+def test_fused_sweeps_temperature_schedule_exact():
+    """fused_sweeps with an (n_sweeps,) temperature SCHEDULE must equal
+    per-sweep single-temperature calls (annealing support, r4)."""
+    from tsu_tpu.ops.checkerboard_fused import fused_sweep_pallas, fused_sweeps
+
+    R = C = 16
+    red, black = _random_planes(jax.random.key(50), R, C)
+    Ts = jnp.array([4.0, 2.0, 0.5], jnp.float32)
+    U = jax.random.randint(jax.random.key(51), (3, 2, R, C // 2),
+                           0, 1 << 16, jnp.int32)
+    with pltpu.force_tpu_interpret_mode():
+        r_s, b_s = fused_sweeps(jnp.int32(5), red, black, Ts, 3,
+                                uniforms=U, band_rows=8)
+        r_m, b_m = red, black
+        for k in range(3):
+            r_m, b_m = fused_sweep_pallas(
+                jnp.stack([jnp.int32(5), jnp.int32(k)]), r_m, b_m, Ts[k],
+                uniforms=U[k], band_rows=8,
+            )
+    assert jnp.array_equal(jnp.asarray(r_s), jnp.asarray(r_m))
+    assert jnp.array_equal(jnp.asarray(b_s), jnp.asarray(b_m))

@@ -87,12 +87,21 @@ class SamplingBenchmark:
         self.results: List[SamplingResult] = []
 
     def _run_case(self, name, J, h, n_samples, temperature=1.0,
-                  n_burnin=100, n_sweeps=2) -> SamplingResult:
+                  n_burnin=100, n_sweeps=2,
+                  update_order="sequential") -> SamplingResult:
+        """``update_order`` defaults to "sequential" — the reference's own
+        chain — which on these tiny (n<=10) latency-bound problems routes
+        to the native C++ host path by the placement policy. Since r4 the
+        native route is GATED to sequential/random orders (a "checkerboard"
+        request must always get the colored-block chain — r3 advisor #1),
+        so the benchmark asks for the order it wants measured explicitly
+        instead of relying on silent substitution. All orders share the
+        invariant distribution; the statistical gates are order-blind."""
         n = J.shape[0]
         sampler = GibbsSampler(
             GibbsConfig(temperature=temperature, n_burnin=n_burnin,
                         n_sweeps=n_sweeps, n_chains=self.n_chains,
-                        update_order="checkerboard"),
+                        update_order=update_order),
             seed=self.seed,
         )
         # Warm-up call with identical static shapes: compilation (and any

@@ -131,7 +131,7 @@ def measure_chains_scaling(
 def measure_lattice_scaling(
     rows_per_device: int = 1024,
     cols: int = 4096,
-    n_sweeps: int = 200,
+    n_sweeps: Optional[int] = None,
     seed: int = 0,
     use_pallas: Optional[bool] = None,
 ) -> dict:
@@ -146,6 +146,10 @@ def measure_lattice_scaling(
 
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
+    if n_sweeps is None:
+        # Launch-depth amortization on TPU (~35 ms dispatch tax per launch
+        # — docs/BENCHMARKS.md ceiling analysis); CPU keeps the quick depth.
+        n_sweeps = 1000 if jax.default_backend() == "tpu" else 200
     devices = jax.devices()
     # The Pallas route auto-selects the FUSED kernel (one launch per sweep
     # per shard — the single-chip headline program) whenever row sharding

@@ -65,6 +65,39 @@ def _cmd_bnn(args):
         print(f"x={xi:+.2f}  pred={m:+.3f}  [{l:+.3f}, {h:+.3f}]")
 
 
+def _cmd_anneal(args):
+    import jax
+    import jax.numpy as jnp
+
+    if args.spin_glass:
+        from tsu_tpu.samplers.annealing import anneal_spin_glass
+
+        key = jax.random.key(args.seed)
+        shape = (args.size, args.size)
+        Jh = jnp.where(jax.random.bernoulli(jax.random.fold_in(key, 0), 0.5,
+                                            shape), 1.0, -1.0)
+        Jv = jnp.where(jax.random.bernoulli(jax.random.fold_in(key, 1), 0.5,
+                                            shape), 1.0, -1.0)
+        state, e = anneal_spin_glass(
+            jax.random.fold_in(key, 2), Jh, Jv, n_steps=args.steps,
+            n_restarts=args.restarts,
+        )
+        model = "ea_pm1_spin_glass"
+    else:
+        from tsu_tpu.samplers.annealing import anneal_lattice
+
+        state, e = anneal_lattice(
+            jax.random.key(args.seed), (args.size, args.size),
+            n_steps=args.steps, n_chains=args.restarts,
+        )
+        model = "ferromagnet"
+    n = args.size * args.size
+    print(json.dumps({
+        "model": model, "size": args.size, "n_steps": args.steps,
+        "best_energy": float(e), "energy_per_site": float(e) / n,
+    }))
+
+
 def _cmd_version(args):
     import jax
 
@@ -110,6 +143,19 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("--epochs", type=int, default=100)
     p.add_argument("--seed", type=int, default=0)
     p.set_defaults(fn=_cmd_bnn)
+
+    p = sub.add_parser(
+        "anneal",
+        help="lattice ground-state search (ferromagnet or +-J spin glass)",
+    )
+    p.add_argument("--size", type=int, default=256)
+    p.add_argument("--steps", type=int, default=2000)
+    p.add_argument("--restarts", type=int, default=2,
+                   help="independent chains/restarts (best energy kept)")
+    p.add_argument("--spin-glass", action="store_true",
+                   help="random +-J Edwards-Anderson bonds instead of uniform J")
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=_cmd_anneal)
 
     p = sub.add_parser("version", help="show version and device info")
     p.set_defaults(fn=_cmd_version)

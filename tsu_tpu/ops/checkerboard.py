@@ -185,16 +185,25 @@ def _halfstep(key, mine, other, update_red, temperature, J, field, periodic):
 def checkerboard_sweeps_planes(
     key, red, black, temperature, n_sweeps: int, *, J=1.0, field=0.0, periodic=True
 ):
-    """n_sweeps full red/black sweeps on compact planes; returns (red, black)."""
+    """n_sweeps full red/black sweeps on compact planes; returns (red, black).
 
-    def body(carry, k):
+    ``temperature``: a scalar, or an (n_sweeps,) per-sweep SCHEDULE
+    (annealing)."""
+    temps = jnp.broadcast_to(
+        jnp.asarray(temperature, jnp.float32).reshape(-1), (n_sweeps,)
+    )
+
+    def body(carry, inp):
         red, black = carry
+        k, T = inp
         k_r, k_b = jax.random.split(k)
-        red = _halfstep(k_r, red, black, True, temperature, J, field, periodic)
-        black = _halfstep(k_b, black, red, False, temperature, J, field, periodic)
+        red = _halfstep(k_r, red, black, True, T, J, field, periodic)
+        black = _halfstep(k_b, black, red, False, T, J, field, periodic)
         return (red, black), None
 
-    (red, black), _ = jax.lax.scan(body, (red, black), jax.random.split(key, n_sweeps))
+    (red, black), _ = jax.lax.scan(
+        body, (red, black), (jax.random.split(key, n_sweeps), temps)
+    )
     return red, black
 
 

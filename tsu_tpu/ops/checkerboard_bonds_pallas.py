@@ -225,8 +225,13 @@ def checkerboard_sweeps_bonds_pallas(
     (n_sweeps, 2, R, C2) int32 in [0, 2^24) for deterministic CI tests.
     ``discrete``: the +-J threshold-table fast path (weights must be in
     {-1, 0, +1} with an integer field — see halfsweep_bonds_pallas).
+    ``temperature``: a scalar, or an (n_sweeps,) per-sweep SCHEDULE
+    (spin-glass annealing at kernel speed).
     """
     seed = jnp.asarray(seed, dtype=jnp.int32)
+    temps = jnp.broadcast_to(
+        jnp.asarray(temperature, jnp.float32).reshape(-1), (n_sweeps,)
+    )
 
     def wrap(plane):
         if periodic:
@@ -236,11 +241,11 @@ def checkerboard_sweeps_bonds_pallas(
 
     def body(carry, inp):
         red, black = carry
-        sweep_idx, u = inp
+        sweep_idx, u, T = inp
         up, down = wrap(black)
         red = halfsweep_bonds_pallas(
             jnp.stack([seed, sweep_idx, jnp.int32(0)]),
-            temperature, black, up, down, weights["red"],
+            T, black, up, down, weights["red"],
             update_red=True, interpret=interpret,
             u24=None if u is None else u[0], block_rows=block_rows,
             discrete=discrete,
@@ -248,7 +253,7 @@ def checkerboard_sweeps_bonds_pallas(
         up, down = wrap(red)
         black = halfsweep_bonds_pallas(
             jnp.stack([seed, sweep_idx, jnp.int32(1)]),
-            temperature, red, up, down, weights["black"],
+            T, red, up, down, weights["black"],
             update_red=False, interpret=interpret,
             u24=None if u is None else u[1], block_rows=block_rows,
             discrete=discrete,
@@ -256,6 +261,7 @@ def checkerboard_sweeps_bonds_pallas(
         return (red, black), None
 
     xs = (jnp.arange(n_sweeps),
-          None if uniforms is None else jnp.asarray(uniforms, jnp.int32))
+          None if uniforms is None else jnp.asarray(uniforms, jnp.int32),
+          temps)
     (red, black), _ = jax.lax.scan(body, (red, black), xs)
     return red, black

@@ -460,23 +460,30 @@ def fused_sweeps(
 ):
     """n_sweeps full sweeps with the fused kernel.
 
-    ``uniforms``: optional (n_sweeps, 2, R, C2) int32 in [0, 2^16)
-    (deterministic mode; see :func:`fused_sweep_pallas`).
+    ``temperature``: a scalar, or an (n_sweeps,) SCHEDULE — sweep k runs at
+    temperature[k] (annealing at full kernel speed; the per-sweep threshold
+    table costs 9 scalar sigmoids). ``uniforms``: optional
+    (n_sweeps, 2, R, C2) int32 in [0, 2^16) (deterministic mode; see
+    :func:`fused_sweep_pallas`).
     """
     seed = jnp.asarray(seed, dtype=jnp.int32)
+    temps = jnp.broadcast_to(
+        jnp.asarray(temperature, jnp.float32).reshape(-1), (n_sweeps,)
+    )
 
     def body(carry, inp):
         red, black = carry
-        k, u = inp
+        k, u, T = inp
         red, black = fused_sweep_pallas(
-            jnp.stack([seed, k]), red, black, temperature,
+            jnp.stack([seed, k]), red, black, T,
             J=J, field=field, periodic=periodic, uniforms=u,
             band_rows=band_rows, interpret=interpret,
         )
         return (red, black), None
 
     xs = (jnp.arange(n_sweeps),
-          None if uniforms is None else jnp.asarray(uniforms, jnp.int32))
+          None if uniforms is None else jnp.asarray(uniforms, jnp.int32),
+          temps)
     (red, black), _ = jax.lax.scan(body, (red, black), xs)
     return red, black
 
