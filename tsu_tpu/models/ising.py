@@ -527,18 +527,15 @@ class IsingGrid(IsingModel):
         if not self._fast:
             return super().find_ground_state(n_steps)
         if self._Jh is not None:
-            from tsu_tpu.ops.checkerboard_bonds import anneal_lattice_bonds
+            # anneal_spin_glass routes to the Pallas bond kernel on TPU
+            # (discrete threshold table for +-J bonds) and to the XLA
+            # best-tracking anneal elsewhere.
+            from tsu_tpu.samplers.annealing import anneal_spin_glass
 
-            key = self._next_key()
-            lat0 = jnp.where(
-                jax.random.bernoulli(jax.random.fold_in(key, 0), 0.5, self.shape),
-                1.0, -1.0,
-            ).astype(jnp.float32)
-            best, e = anneal_lattice_bonds(
-                jax.random.fold_in(key, 1), lat0,
-                jnp.asarray(self._Jh), jnp.asarray(self._Jv),
-                T_initial=5.0, T_final=0.05, n_steps=n_steps,
-                periodic=self.periodic,
+            best, e = anneal_spin_glass(
+                self._next_key(), jnp.asarray(self._Jh),
+                jnp.asarray(self._Jv), T_initial=5.0, T_final=0.05,
+                n_steps=n_steps, periodic=self.periodic,
             )
             return self._grid_to_flat(np.asarray(best)), float(e)
         from tsu_tpu.samplers.annealing import anneal_lattice
