@@ -105,7 +105,8 @@ class GibbsConfig:
         _require(self.n_sweeps > 0, f"n_sweeps must be positive, got {self.n_sweeps}")
         _require(
             self.update_order in ("checkerboard", "sequential", "random"),
-            f"update_order must be 'checkerboard', 'sequential' or 'random', got {self.update_order!r}",
+            "update_order must be 'checkerboard', 'sequential' or "
+            f"'random', got {self.update_order!r}",
         )
         _require(self.n_chains > 0, f"n_chains must be positive, got {self.n_chains}")
 

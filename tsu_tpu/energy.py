@@ -37,7 +37,9 @@ def validate_energy_fn(energy_fn: EnergyFn, x0) -> None:
     try:
         out_shape = jax.eval_shape(energy_fn, x0)
     except Exception as e:  # noqa: BLE001 - surface any tracing failure
-        raise SamplingError(f"energy function failed tracing on x0 of shape {x0.shape}: {e}") from e
+        raise SamplingError(
+            f"energy function failed tracing on x0 of shape {x0.shape}: {e}"
+        ) from e
     if out_shape.shape not in ((), (1,)):
         raise SamplingError(
             f"energy function must return a scalar, got shape {out_shape.shape}"

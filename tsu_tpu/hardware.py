@@ -52,8 +52,14 @@ def checkerboard_roofline(
 
     Per full sweep the kernel reads each color plane once (as neighbors) and
     writes each once: 2 * N * dtype_bytes bytes moved per sweep of N sites.
-    The compute bound counts VPU ops per site (neighbor adds, sigmoid approx,
-    PRNG, select).
+    The compute bound counts VPU ops per site (neighbor adds, threshold
+    table, PRNG, select).
+
+    CALIBRATED against the r4 device trace (docs/BENCHMARKS.md): at bf16
+    (dtype_bytes=2) this model says compute-bound with a 1.6e11 ceiling at
+    the default 24 ops/site; the fused kernel measures 1.37e11 intrinsic =
+    ~85% of that bound, and the variant decomposition confirms the binding
+    side is the VPU (PRNG+select+write floor 1.9e11), not HBM.
     """
     n_sites = rows * cols
     bytes_per_sweep = 2 * n_sites * dtype_bytes

@@ -61,7 +61,8 @@ def ess_multichain(samples: np.ndarray) -> float:
     if samples.ndim == 1:
         return effective_sample_size(samples)
     if samples.ndim == 2:
-        return float(np.mean([effective_sample_size(samples[:, d]) for d in range(samples.shape[1])]))
+        return float(np.mean([effective_sample_size(samples[:, d])
+                              for d in range(samples.shape[1])]))
     return float(
         sum(ess_multichain(samples[c]) for c in range(samples.shape[0]))
     )

@@ -143,7 +143,8 @@ def onsager_magnetization(T: float, J: float = 1.0) -> float:
     return float((1.0 - np.sinh(2.0 * J / T) ** -4) ** 0.125)
 
 
-def lattice_energy_np(s: np.ndarray, J: float = 1.0, h: float = 0.0, periodic: bool = True) -> float:
+def lattice_energy_np(s: np.ndarray, J: float = 1.0, h: float = 0.0,
+                      periodic: bool = True) -> float:
     """NumPy stencil 2-D Ising energy (right+down bonds)."""
     s = np.asarray(s, dtype=np.float64)
     if periodic:

@@ -121,4 +121,5 @@ def annealed_smc(
         body, (particles, log_w0, jnp.float32(0.0)), (betas[:-1], betas[1:], keys)
     )
     log_z = log_z + jax.scipy.special.logsumexp(log_w) - jnp.log(P)
-    return {"particles": particles, "log_weights": log_w, "log_Z": log_z, "ess_history": ess_hist}
+    return {"particles": particles, "log_weights": log_w, "log_Z": log_z,
+            "ess_history": ess_hist}
