@@ -4,12 +4,13 @@ Evidence behind the single-chip ceiling analysis in docs/BENCHMARKS.md:
 kernel variants with the SAME memory traffic but progressively less
 compute attribute the steady-state time to PRNG generation, neighbor
 math, and the heat-bath select chain. Measured r4 (one v5e via tunnel,
-best of trials, 4096^2, 500 sweeps/launch):
+best of trials, 4096^2, 500 sweeps/launch; committed artifact
+visual_output/kernel_decomposition.json):
 
-    baseline_fused  0.91e11 flips/s   (production kernel)
-    nomath          1.30e11           (+ drop 2nd color, horiz rolls, table)
-    prng_grouped    1.71e11           (+ drop neighbor reads/adds)
-    prng_only       1.90e11           (PRNG + threshold + writes floor)
+    baseline_fused  ~0.95e11 flips/s  (production kernel)
+    nomath          ~1.6e11           (+ drop 2nd color, horiz rolls, table)
+    prng_grouped    ~1.9e11           (+ drop neighbor reads/adds)
+    prng_only       ~2.0e11           (PRNG + threshold + writes floor)
 
 Conclusion: VPU-compute-bound (HBM sits at ~48% of the v5e bound at the
 device rate), with an exact-heat-bath floor of ~5.3 ps/flip from PRNG +
@@ -135,6 +136,8 @@ def run_variant(mode, planes):
 
 
 def main():
+    import json
+
     from tsu_tpu.ops.checkerboard_fused import fused_sweeps
     planes = split_checkerboard(jnp.ones((SIZE, SIZE), jnp.bfloat16))
     # Baseline: production fused kernel
@@ -150,12 +153,23 @@ def main():
         np.asarray(red[:2, :2])
         base = max(base, SIZE * SIZE * S / (time.perf_counter() - t0))
     print(f"baseline_fused: {base:.3e} flips/s")
+    results = {"size": SIZE, "sweeps_per_launch": S,
+               "baseline_fused": base}
     for mode in ("prng_only", "prng_grouped", "nomath"):
         try:
             f = run_variant(mode, planes)
             print(f"{mode}: {f:.3e} flips/s")
+            results[mode] = f
         except Exception as e:
             print(f"{mode}: FAILED {repr(e)[:200]}")
+            results[mode + "_error"] = str(e)[:200]
+    # Committed evidence artifact behind the docs/BENCHMARKS.md ceiling
+    # analysis; TPU runs only (a CPU smoke run must not clobber it).
+    if jax.default_backend() == "tpu":
+        os.makedirs("visual_output", exist_ok=True)
+        with open("visual_output/kernel_decomposition.json", "w") as f:
+            json.dump(results, f, indent=2)
+        print("wrote visual_output/kernel_decomposition.json")
 
 
 if __name__ == "__main__":
