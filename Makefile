@@ -8,7 +8,7 @@
 # bench -> suite -> scaling -> pod projection -> hardware kernel
 # statistics -> extraction.
 round:           ## refresh every committed artifact from a clean HEAD
-	@git diff --quiet || (echo "ERROR: uncommitted changes — commit code first, then 'make round'" && exit 1)
+	@git diff --quiet HEAD || (echo "ERROR: uncommitted (worktree or staged) changes — commit code first, then 'make round'" && exit 1)
 	python bench.py
 	python -m tsu_tpu.benchmarks.runner
 	python -m tsu_tpu.benchmarks.scaling --output-dir visual_output

@@ -34,13 +34,11 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 ICI_BYTES_PER_S = 1.0e11   # conservative per-neighbor-link ICI bandwidth
 DCN_BYTES_PER_S = 2.5e10   # conservative cross-host fallback
@@ -51,44 +49,25 @@ def measure_sharded_sweep_time(size: int = 4096, n_sweeps: int = 2500,
                                trials: int = 3) -> dict:
     """Measured per-sweep wall time of the PRODUCTION sharded path on the
     visible chip (1-device mesh, fused kernel, bf16 — the program every
-    multi-chip row would scale)."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    multi-chip row would scale).
 
-    from tsu_tpu.ops.checkerboard import split_checkerboard
-    from tsu_tpu.parallel.lattice import sharded_checkerboard_sweeps
-    from tsu_tpu.parallel.mesh import make_mesh
+    Delegates to the ONE sharded-path measurement harness
+    (tsu_tpu/benchmarks/scaling.py:measure_lattice_matched) so this
+    artifact and the committed matched-size scaling row can never diverge
+    in methodology (r4 review finding: two hand-rolled copies).
+    """
+    from tsu_tpu.benchmarks.scaling import measure_lattice_matched
 
-    use_pallas = jax.default_backend() == "tpu"
-    dtype = jnp.bfloat16 if use_pallas else jnp.float32
-    if jax.default_backend() != "tpu":
-        size, n_sweeps = 512, 50  # smoke-mode fallback off-chip
-    mesh = make_mesh(rows=1, devices=jax.devices()[:1])
-    red, black = split_checkerboard(jnp.ones((size, size), dtype))
-    sharding = NamedSharding(mesh, P("row", None))
-    red = jax.device_put(red, sharding)
-    black = jax.device_put(black, sharding)
-
-    def run(i, red, black):
-        return sharded_checkerboard_sweeps(
-            mesh, jax.random.key(i), red, black, 2.269, n_sweeps,
-            periodic=True, use_pallas=use_pallas,
-        )
-
-    red, black = run(0, red, black)
-    np.asarray(red[:2, :2])
-    best_dt = float("inf")
-    for i in range(1, trials + 1):
-        t0 = time.perf_counter()
-        red, black = run(i, red, black)
-        np.asarray(red[:2, :2])
-        best_dt = min(best_dt, time.perf_counter() - t0)
+    m = measure_lattice_matched(size=size, n_sweeps=n_sweeps,
+                                n_iters=trials)
+    itemsize = jnp.dtype(m["dtype"]).itemsize
     return {
-        "size": size,
-        "n_sweeps": n_sweeps,
-        "dtype": str(jnp.dtype(dtype).name),
-        "itemsize": jnp.dtype(dtype).itemsize,
-        "sweep_time_s": best_dt / n_sweeps,
-        "flips_per_s": size * size * n_sweeps / best_dt,
+        "size": m["size"],
+        "n_sweeps": m["n_sweeps"],
+        "dtype": m["dtype"],
+        "itemsize": itemsize,
+        "sweep_time_s": m["size"] * m["size"] / m["flips_per_s"],
+        "flips_per_s": m["flips_per_s"],
         "backend": jax.default_backend(),
     }
 

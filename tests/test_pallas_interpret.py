@@ -481,3 +481,22 @@ def test_fused_sweeps_temperature_schedule_exact():
             )
     assert jnp.array_equal(jnp.asarray(r_s), jnp.asarray(r_m))
     assert jnp.array_equal(jnp.asarray(b_s), jnp.asarray(b_m))
+
+
+def test_fused_sweeps_batched_accepts_seed_rows():
+    """(B, 2) seed rows must behave exactly like (B,) seeds (the second
+    column is ignored; an r4 review caught reshape(-1) interleaving them
+    into colliding streams)."""
+    from tsu_tpu.ops.checkerboard_fused import fused_sweeps_batched
+
+    B, R, C = 2, 16, 16
+    lats = jnp.ones((B, R, C))
+    reds, blacks = jax.vmap(split_checkerboard)(lats)
+    seeds = jnp.array([7, 8], jnp.int32)
+    rows = jnp.stack([seeds, jnp.array([99, 77], jnp.int32)], axis=1)
+    Ts = jnp.array([2.6, 2.6], jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        r1, b1 = fused_sweeps_batched(seeds, reds, blacks, Ts, 2, band_rows=8)
+        r2, b2 = fused_sweeps_batched(rows, reds, blacks, Ts, 2, band_rows=8)
+    assert jnp.array_equal(jnp.asarray(r1), jnp.asarray(r2))
+    assert jnp.array_equal(jnp.asarray(b1), jnp.asarray(b2))

@@ -106,7 +106,7 @@ def sample_grid_ensemble(
     n_burnin: int = 100,
     n_sweeps: int = 1,
     periodic: bool = True,
-    use_pallas: bool = True,
+    use_pallas: bool | None = None,
 ):
     """Sample an ENSEMBLE of lattices, each at its own temperature, in one
     compiled program — every sweep of every member is a single batched
@@ -130,6 +130,12 @@ def sample_grid_ensemble(
 
     B, R, C = lattices0.shape
     n_sites = R * C
+    if use_pallas is None:
+        # The fused batched kernel's hardware PRNG has no CPU lowering
+        # outside interpret mode, so the default must be backend-aware
+        # (r4 review finding: a bare use_pallas=True default crashed CPU
+        # callers).
+        use_pallas = jax.default_backend() == "tpu"
     if use_pallas and R % 8 == 0:
         from tsu_tpu.ops.checkerboard_fused import fused_sweeps_batched
 

@@ -687,10 +687,16 @@ def fused_sweeps_batched(
 ):
     """n_sweeps full sweeps on a batch of lattices (one launch per sweep).
 
-    ``seeds``: (B,) distinct per-lattice stream ids (see
-    :func:`fused_sweep_batched`).
+    ``seeds``: (B,) distinct per-lattice stream ids, or (B, 2) rows whose
+    second column is IGNORED (this scan supplies the per-sweep counter
+    itself — see :func:`fused_sweep_batched`). An r4 review caught the
+    first version flattening (B, 2) input into 2B interleaved seeds,
+    which silently put lattices on colliding streams.
     """
-    seeds = jnp.asarray(seeds, jnp.int32).reshape(-1)
+    seeds = jnp.asarray(seeds, jnp.int32)
+    if seeds.ndim == 2:
+        seeds = seeds[:, 0]
+    seeds = seeds.reshape(-1)
 
     def body(carry, k):
         reds, blacks = carry

@@ -155,11 +155,16 @@ def anneal_lattice(
         )
         from tsu_tpu.ops.checkerboard_fused import fused_sweep_batched
 
-        n_chunks = -(-n_steps // track_every)
-        pad = n_chunks * track_every - n_steps
-        sched = jnp.concatenate(
-            [schedule, jnp.full((pad,), schedule[-1])]
-        ).reshape(n_chunks, track_every)
+        # Exactly n_steps sweeps: full chunks through the scan plus one
+        # remainder chunk (r4 review finding: padding the schedule to a
+        # track_every multiple silently ran up to track_every-1 extra
+        # sweeps, making cross-backend comparisons and flips/s accounting
+        # inexact).
+        n_full = n_steps // track_every
+        rem = n_steps % track_every
+        sched = jnp.asarray(
+            schedule[: n_full * track_every]
+        ).reshape(n_full, track_every)
         seeds = jax.random.randint(k_run, (n_chains,), 0, 2**30,
                                    dtype=jnp.int32)
 
@@ -170,14 +175,11 @@ def anneal_lattice(
             e0 = lattice_energy_batch(states, J=J, field=field,
                                       periodic=periodic)
 
-            def chunk(carry, inp):
-                reds, blacks, best_r, best_b, best_e = carry
-                chunk_idx, temps = inp
-
+            def sweeps(reds, blacks, step_base, temps, n):
                 def sweep(c, inp2):
                     reds, blacks = c
                     j, T = inp2
-                    g = chunk_idx * track_every + j  # global sweep counter
+                    g = step_base + j  # global sweep counter
                     reds, blacks = fused_sweep_batched(
                         jnp.stack([seeds, jnp.full_like(seeds, g)], axis=1),
                         reds, blacks, jnp.full((n_chains,), T),
@@ -186,8 +188,11 @@ def anneal_lattice(
                     return (reds, blacks), None
 
                 (reds, blacks), _ = jax.lax.scan(
-                    sweep, (reds, blacks), (jnp.arange(track_every), temps)
+                    sweep, (reds, blacks), (jnp.arange(n), temps)
                 )
+                return reds, blacks
+
+            def track(reds, blacks, best_r, best_b, best_e):
                 lat = jax.vmap(merge_checkerboard)(
                     reds.astype(jnp.float32), blacks.astype(jnp.float32))
                 e = lattice_energy_batch(lat, J=J, field=field,
@@ -195,13 +200,30 @@ def anneal_lattice(
                 better = e < best_e
                 best_r = jnp.where(better[:, None, None], reds, best_r)
                 best_b = jnp.where(better[:, None, None], blacks, best_b)
-                best_e = jnp.minimum(e, best_e)
+                return best_r, best_b, jnp.minimum(e, best_e)
+
+            def chunk(carry, inp):
+                reds, blacks, best_r, best_b, best_e = carry
+                chunk_idx, temps = inp
+                reds, blacks = sweeps(reds, blacks,
+                                      chunk_idx * track_every, temps,
+                                      track_every)
+                best_r, best_b, best_e = track(reds, blacks,
+                                               best_r, best_b, best_e)
                 return (reds, blacks, best_r, best_b, best_e), None
 
-            (reds, blacks, best_r, best_b, best_e), _ = jax.lax.scan(
-                chunk, (reds, blacks, reds, blacks, e0),
-                (jnp.arange(n_chunks), sched),
-            )
+            carry = (reds, blacks, reds, blacks, e0)
+            if n_full > 0:
+                carry, _ = jax.lax.scan(
+                    chunk, carry, (jnp.arange(n_full), sched)
+                )
+            reds, blacks, best_r, best_b, best_e = carry
+            if rem > 0:
+                reds, blacks = sweeps(
+                    reds, blacks, n_full * track_every,
+                    jnp.asarray(schedule[-rem:]), rem)
+                best_r, best_b, best_e = track(reds, blacks,
+                                               best_r, best_b, best_e)
             best = jax.vmap(merge_checkerboard)(
                 best_r.astype(jnp.float32), best_b.astype(jnp.float32))
             return best, best_e
@@ -234,6 +256,22 @@ def anneal_lattice(
     best_states, best_es = run(states, jax.random.split(k_run, n_chains))
     i = int(jnp.argmin(best_es))
     return best_states[i], float(best_es[i])
+
+
+def discrete_table_applicable(Jh, Jv, field) -> bool:
+    """True when the +-J threshold-table kernel path is EXACT: the per-site
+    local field must stay on the 9 integers -4..4 the table covers, i.e.
+    every bond in {-1, 0, +1} AND zero field. A nonzero field — even an
+    integer one — pushes the local field to +-5, which would silently fall
+    through to the wrong table entry (r4 review finding #1).
+    """
+    Jh = jnp.asarray(Jh)
+    Jv = jnp.asarray(Jv)
+    return bool(
+        jnp.all(jnp.isin(Jh, jnp.array([-1.0, 0.0, 1.0])))
+        and jnp.all(jnp.isin(Jv, jnp.array([-1.0, 0.0, 1.0])))
+        and float(field) == 0.0
+    )
 
 
 def anneal_spin_glass(
@@ -274,12 +312,7 @@ def anneal_spin_glass(
     R, C = Jh.shape
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu" and R % 8 == 0
-    # The discrete table path requires integer-valued local fields.
-    discrete = bool(
-        jnp.all(jnp.isin(Jh, jnp.array([-1.0, 0.0, 1.0])))
-        and jnp.all(jnp.isin(Jv, jnp.array([-1.0, 0.0, 1.0])))
-        and float(field) == int(field)
-    )
+    discrete = discrete_table_applicable(Jh, Jv, field)
     weights = color_bond_weights(Jh, Jv, field, periodic=periodic)
     if use_pallas and discrete:
         weights = {
@@ -301,14 +334,36 @@ def anneal_spin_glass(
             dtype = jnp.bfloat16 if discrete else jnp.float32
             red, black = split_checkerboard(lat0.astype(dtype))
             seed = jax.random.randint(k_run, (), 0, 2**30, dtype=jnp.int32)
-            red, black = checkerboard_sweeps_bonds_pallas(
-                seed, red, black, weights, schedule, n_steps,
-                periodic=periodic, discrete=discrete,
-            )
-            lat = merge_checkerboard(red.astype(jnp.float32),
-                                     black.astype(jnp.float32))
-            e = float(lattice_energy_bonds(lat, Jh, Jv, field,
-                                           periodic=periodic))
+            # Chunked best-state tracking (the XLA anneal tracks best per
+            # sweep; an energy eval costs ~one sweep, so the kernel path
+            # checks every ~n_steps/20 sweeps — r4 review finding: the
+            # first version returned only the FINAL state and could lose a
+            # better mid-schedule configuration).
+            n_chunks = min(20, n_steps)
+            bounds = np.linspace(0, n_steps, n_chunks + 1).astype(int)
+            # NOTE: names must not shadow the outer restart loop's
+            # best_state/best_e (an earlier draft reused best_e here and the
+            # outer comparison then never fired, returning state=None).
+            run_best_lat, run_best_e = None, float("inf")
+            for ci in range(n_chunks):
+                lo, hi = int(bounds[ci]), int(bounds[ci + 1])
+                if hi == lo:
+                    continue
+                # Per-chunk seed stride: the in-call sweep counter restarts
+                # each chunk, so the base seed must differ (fold_seed
+                # avalanches the addition into an independent stream).
+                red, black = checkerboard_sweeps_bonds_pallas(
+                    seed + jnp.int32(ci * 1_000_033), red, black, weights,
+                    schedule[lo:hi], hi - lo,
+                    periodic=periodic, discrete=discrete,
+                )
+                lat = merge_checkerboard(red.astype(jnp.float32),
+                                         black.astype(jnp.float32))
+                e_c = float(lattice_energy_bonds(lat, Jh, Jv, field,
+                                                 periodic=periodic))
+                if e_c < run_best_e:
+                    run_best_lat, run_best_e = lat, e_c
+            lat, e = run_best_lat, run_best_e
         else:
             lat, e = anneal_lattice_bonds(
                 k_run, lat0, Jh, Jv, T_initial=T_initial, T_final=T_final,
