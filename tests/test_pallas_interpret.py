@@ -500,3 +500,46 @@ def test_fused_sweeps_batched_accepts_seed_rows():
         r2, b2 = fused_sweeps_batched(rows, reds, blacks, Ts, 2, band_rows=8)
     assert jnp.array_equal(jnp.asarray(r1), jnp.asarray(r2))
     assert jnp.array_equal(jnp.asarray(b1), jnp.asarray(b2))
+
+
+@pytest.mark.parametrize("discrete", [False, True])
+def test_bond_batched_matches_unbatched(discrete):
+    """The batched bond kernel (shared disorder, per-replica temperature,
+    grid (B, blocks)) must reproduce the unbatched bond kernel per replica
+    in interpret mode (same seedless interpret PRNG on both sides — this
+    validates band math, shared-weight block indexing, and the per-replica
+    table rows; stream distinctness is hardware-tested)."""
+    from tsu_tpu.ops.checkerboard_bonds import color_bond_weights
+    from tsu_tpu.ops.checkerboard_bonds_pallas import (
+        checkerboard_sweeps_bonds_batched,
+        checkerboard_sweeps_bonds_pallas,
+    )
+
+    B, R, C = 3, 16, 16
+    key = jax.random.key(60)
+    Jh = jnp.where(jax.random.bernoulli(jax.random.fold_in(key, 0), 0.5,
+                                        (R, C)), 1.0, -1.0)
+    Jv = jnp.where(jax.random.bernoulli(jax.random.fold_in(key, 1), 0.5,
+                                        (R, C)), 1.0, -1.0)
+    weights = color_bond_weights(Jh, Jv, 0.0, periodic=True)
+    lats = jnp.where(jax.random.bernoulli(jax.random.fold_in(key, 2), 0.5,
+                                          (B, R, C)), 1.0, -1.0)
+    reds, blacks = jax.vmap(split_checkerboard)(lats)
+    Ts = jnp.array([0.8, 1.5, 3.0], jnp.float32)
+    seeds = jnp.array([11, 22, 33], jnp.int32)
+
+    with pltpu.force_tpu_interpret_mode():
+        rb, bb = checkerboard_sweeps_bonds_batched(
+            seeds, reds, blacks, weights, Ts, 2, periodic=True,
+            discrete=discrete,
+        )
+        for b in range(B):
+            # Unbatched reference at the same temperature. The interpret
+            # PRNG ignores seeds, so per-block draws coincide and equality
+            # is exact.
+            r1, b1 = checkerboard_sweeps_bonds_pallas(
+                jnp.int32(int(seeds[b])), reds[b], blacks[b], weights,
+                Ts[b], 2, periodic=True, discrete=discrete,
+            )
+            assert jnp.array_equal(jnp.asarray(r1), jnp.asarray(rb[b])), b
+            assert jnp.array_equal(jnp.asarray(b1), jnp.asarray(bb[b])), b

@@ -164,3 +164,29 @@ class TestLatticeAnnealing:
         e_check = float(lattice_energy_bonds(jnp.asarray(st), Jh, Jv, 0.0,
                                              periodic=True))
         assert abs(e_check - e) < 1e-4
+
+
+class TestSpinGlassTempering:
+    """Replica exchange over a disordered lattice (the spin-glass
+    workhorse; r4 addition with no reference counterpart)."""
+
+    def test_ladder_orders_energies_and_swaps(self):
+        from tsu_tpu.samplers.tempering import parallel_tempering_bonds
+
+        key = jax.random.key(0)
+        Jh = jnp.where(jax.random.bernoulli(jax.random.fold_in(key, 0), 0.5,
+                                            (8, 8)), 1.0, -1.0)
+        Jv = jnp.where(jax.random.bernoulli(jax.random.fold_in(key, 1), 0.5,
+                                            (8, 8)), 1.0, -1.0)
+        cold, info = parallel_tempering_bonds(
+            jax.random.key(1), Jh, Jv,
+            temperatures=np.geomspace(0.5, 3.0, 6),
+            n_samples=40, swap_interval=2, n_burnin=30, use_pallas=False,
+        )
+        assert cold.shape == (40, 8, 8)
+        assert info["swap_acceptance_rate"] > 0.05
+        e = info["energies"]
+        # Rung energies must order with temperature (cold < hot).
+        assert e[-20:, 0].mean() < e[-20:, -1].mean()
+        # Cold rung should sit near the EA ground-state density.
+        assert e[-20:, 0].mean() / 64 < -1.1

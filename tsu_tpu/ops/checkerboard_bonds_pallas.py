@@ -265,3 +265,211 @@ def checkerboard_sweeps_bonds_pallas(
           temps)
     (red, black), _ = jax.lax.scan(body, (red, black), xs)
     return red, black
+
+
+# -- batched replicas: shared disorder, per-replica temperatures ------------
+
+
+def _halfsweep_bonds_kernel_batched(
+    seed_ref,     # SMEM (B, 2) int32 — per-replica (folded seed, counter)
+    t_ref,        # SMEM (B,) f32 temperatures, or (B, 9) int32 tables
+                  #   when ``discrete``
+    other_ref,    # VMEM (1, BR, C2) opposite-color block of replica b
+    up_ref,       # VMEM (1, 8, C2)
+    down_ref,     # VMEM (1, 8, C2)
+    wu_ref,       # VMEM (BR, C2) — weights SHARED across replicas (same
+    wd_ref,       #   disorder realization), so their index map ignores b
+    wl_ref,
+    wr_ref,
+    f_ref,
+    out_ref,      # VMEM (1, BR, C2)
+    *,
+    update_red: bool,
+    discrete: bool,
+):
+    """Batched variant of :func:`_halfsweep_bonds_kernel`: grid
+    (B, nblocks). The replica-exchange workhorse for disordered lattices —
+    every rung of a tempering ladder sweeps the SAME bond realization at
+    its own temperature in one launch."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    nb = pl.num_programs(1)
+    pltpu.prng_seed(seed_ref[b, 0], seed_ref[b, 1] * nb + i)
+
+    other = other_ref[0].astype(jnp.float32)
+    BR, C2 = other.shape
+
+    up = jnp.concatenate([up_ref[0, 0:1, :].astype(jnp.float32),
+                          other[:-1, :]], axis=0)
+    down = jnp.concatenate([other[1:, :],
+                            down_ref[0, 0:1, :].astype(jnp.float32)], axis=0)
+    left_shift = pltpu.roll(other, 1, 1)
+    right_shift = pltpu.roll(other, C2 - 1, 1)
+    row_par = jax.lax.broadcasted_iota(jnp.int32, (BR, C2), 0) % 2
+    pick = (row_par == 0) if update_red else (row_par == 1)
+    left = jnp.where(pick, left_shift, other)
+    right = jnp.where(pick, other, right_shift)
+
+    local = (wu_ref[:].astype(jnp.float32) * up
+             + wd_ref[:].astype(jnp.float32) * down
+             + wl_ref[:].astype(jnp.float32) * left
+             + wr_ref[:].astype(jnp.float32) * right
+             + f_ref[:].astype(jnp.float32))
+
+    bits = pltpu.bitcast(pltpu.prng_random_bits((BR, C2)), jnp.uint32)
+    u24 = pltpu.bitcast(bits >> 8, jnp.int32)
+
+    if discrete:
+        idx = local.astype(jnp.int32) + 4
+        table = [t_ref[b, k] for k in range(9)]
+        thresh = jnp.full(local.shape, table[0], dtype=jnp.int32)
+        for k in range(1, 9):
+            thresh = jnp.where(idx == k, table[k], thresh)
+        out_ref[0] = jnp.where(u24 < thresh, 1.0, -1.0).astype(out_ref.dtype)
+    else:
+        p_up = jax.nn.sigmoid(2.0 * local / t_ref[b])
+        u = u24.astype(jnp.float32) * _U24_SCALE
+        out_ref[0] = jnp.where(u < p_up, 1.0, -1.0).astype(out_ref.dtype)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("update_red", "interpret", "block_rows", "discrete"),
+)
+def halfsweep_bonds_batched(
+    seeds: jax.Array,
+    temperatures,
+    others: jax.Array,
+    up_rows: jax.Array,
+    down_rows: jax.Array,
+    weights,
+    *,
+    update_red: bool,
+    interpret: bool = False,
+    block_rows: int | None = None,
+    discrete: bool = False,
+) -> jax.Array:
+    """One weighted color update on a BATCH of replicas sharing one bond
+    realization, each at its own temperature.
+
+    ``seeds``: (B, 2) int32 (folded via fold_seed here; distinct per
+    replica). ``others``: (B, R, C2). ``up_rows``/``down_rows``: (B, 1, C2)
+    external halo rows per replica. ``weights``: the 5-tuple for the color
+    being updated (shared across replicas).
+    """
+    B, R, C2 = others.shape
+    BR = block_rows or pick_block_rows(R, C2, 4, vmem_budget=2**19)
+    nblocks = R // BR
+
+    # Per-replica per-block halo tiles (8-row sublane tiling).
+    def build(halos, others, top: bool):
+        def one(h, o):
+            if nblocks > 1:
+                if top:
+                    rows = jnp.concatenate([h, o[BR - 1: R - 1: BR]], axis=0)
+                else:
+                    rows = jnp.concatenate([o[BR:R:BR], h], axis=0)
+            else:
+                rows = h
+            return jnp.repeat(rows, 8, axis=0)
+
+        return jax.vmap(one)(halos, others)
+
+    ups = build(up_rows, others, True)      # (B, nblocks*8, C2)
+    downs = build(down_rows, others, False)
+
+    seeds = jnp.asarray(seeds, jnp.int32)
+    folded = jax.vmap(lambda s: fold_seed(s))(seeds[:, 0])
+    seed_rows = jnp.stack([folded, seeds[:, 1]], axis=1)
+
+    if discrete:
+        from tsu_tpu.ops.checkerboard_fused import sigmoid_table
+
+        t_arg = jax.vmap(lambda t: sigmoid_table(1.0, 0.0, t))(
+            jnp.asarray(temperatures, jnp.float32).reshape(-1))
+    else:
+        t_arg = jnp.asarray(temperatures, jnp.float32).reshape(-1)
+
+    vblk = pl.BlockSpec((1, BR, C2), lambda b, i: (b, i, 0),
+                        memory_space=pltpu.VMEM)
+    hblk = pl.BlockSpec((1, 8, C2), lambda b, i: (b, i, 0),
+                        memory_space=pltpu.VMEM)
+    wblk = pl.BlockSpec((BR, C2), lambda b, i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        vblk, hblk, hblk,
+        wblk, wblk, wblk, wblk, wblk,
+    ]
+    kernel = partial(_halfsweep_bonds_kernel_batched, update_red=update_red,
+                     discrete=discrete)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, R, C2), others.dtype),
+        grid_spec=pl.GridSpec(grid=(B, nblocks), in_specs=in_specs,
+                              out_specs=vblk),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=16 * B * R * C2,
+            bytes_accessed=(2 + 5) * B * R * C2 * 4,
+            transcendentals=0 if discrete else B * R * C2,
+        ),
+    )(seed_rows, t_arg, others, ups, downs,
+      *(jnp.asarray(w) for w in weights))
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_sweeps", "periodic", "interpret", "block_rows",
+                     "discrete"),
+)
+def checkerboard_sweeps_bonds_batched(
+    seeds: jax.Array,
+    reds: jax.Array,
+    blacks: jax.Array,
+    weights,
+    temperatures,
+    n_sweeps: int,
+    *,
+    periodic: bool = True,
+    interpret: bool = False,
+    block_rows: int | None = None,
+    discrete: bool = False,
+):
+    """n_sweeps full weighted sweeps on a batch of replicas sharing one
+    bond realization, each at its own temperature (tempering ladders over
+    a spin glass in ONE launch per half-sweep).
+
+    ``seeds``: (B,) distinct per-replica stream ids.
+    """
+    seeds = jnp.asarray(seeds, jnp.int32).reshape(-1)
+    B = seeds.shape[0]
+
+    def wrap(planes):
+        if periodic:
+            return planes[:, -1:, :], planes[:, :1, :]
+        z = jnp.zeros_like(planes[:, :1, :])
+        return z, z
+
+    def body(carry, k):
+        reds, blacks = carry
+        up, down = wrap(blacks)
+        reds = halfsweep_bonds_batched(
+            jnp.stack([seeds, jnp.full_like(seeds, 2 * k)], axis=1),
+            temperatures, blacks, up, down, weights["red"],
+            update_red=True, interpret=interpret, block_rows=block_rows,
+            discrete=discrete,
+        )
+        up, down = wrap(reds)
+        blacks = halfsweep_bonds_batched(
+            jnp.stack([seeds, jnp.full_like(seeds, 2 * k + 1)], axis=1),
+            temperatures, reds, up, down, weights["black"],
+            update_red=False, interpret=interpret, block_rows=block_rows,
+            discrete=discrete,
+        )
+        return (reds, blacks), None
+
+    (reds, blacks), _ = jax.lax.scan(body, (reds, blacks),
+                                     jnp.arange(n_sweeps))
+    return reds, blacks

@@ -235,3 +235,151 @@ def parallel_tempering_lattice(
         "final_states": jax.device_get(states),
     }
     return cold[n_burnin:], info
+
+
+def parallel_tempering_bonds(
+    key,
+    Jh,
+    Jv,
+    *,
+    temperatures,
+    field: float = 0.0,
+    n_samples: int = 100,
+    swap_interval: int = 10,
+    n_sweeps: int = 1,
+    n_burnin: int = 100,
+    periodic: bool = True,
+    use_pallas: bool | None = None,
+):
+    """Replica exchange over a DISORDERED lattice (per-bond couplings).
+
+    The workhorse algorithm for spin glasses: every rung of the ladder
+    sweeps the SAME bond realization (Jh, Jv) at its own temperature, and
+    adjacent rungs exchange states by the Metropolis rule. On TPU all
+    replicas advance through ONE batched bond-kernel launch per half-sweep
+    (ops/checkerboard_bonds_pallas.checkerboard_sweeps_bonds_batched; the
+    +-J discrete threshold-table path applies when the bonds are +-1/0 and
+    field == 0); elsewhere the XLA bond halfstep broadcasts over replicas.
+
+    Returns (cold_samples (n_samples, R, C) — the coldest rung's states —
+    and an info dict with swap statistics and per-replica energy traces),
+    mirroring :func:`parallel_tempering_lattice`.
+
+    LADDER SPACING: swap acceptance scales like exp(-dBeta * dE) with dE
+    EXTENSIVE in the lattice size, so adjacent-rung spacing must shrink
+    roughly like 1/sqrt(n_sites) for a constant acceptance rate. A
+    16-rung geometric ladder that swaps healthily at 8x8 accepts nothing
+    at 256^2 (measured) — large lattices need hundreds of rungs, or
+    windowed/feedback-optimized ladders; check
+    ``info["swap_acceptance_rate"]`` before trusting the cold chain.
+    """
+    from tsu_tpu.ops.checkerboard import merge_checkerboard, split_checkerboard
+    from tsu_tpu.ops.checkerboard_bonds import (
+        color_bond_weights,
+        halfstep_bonds,
+        lattice_energy_bonds,
+    )
+    from tsu_tpu.samplers.annealing import discrete_table_applicable
+
+    Jh = jnp.asarray(Jh, jnp.float32)
+    Jv = jnp.asarray(Jv, jnp.float32)
+    rows, cols = Jh.shape
+    temperatures = jnp.sort(jnp.asarray(temperatures, dtype=jnp.float32))
+    R = temperatures.shape[0]
+    betas = 1.0 / temperatures
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu" and rows % 2 == 0
+    discrete = discrete_table_applicable(Jh, Jv, field)
+    weights = color_bond_weights(Jh, Jv, field, periodic=periodic)
+    if use_pallas and discrete:
+        weights = {
+            c: tuple(jnp.asarray(w, jnp.bfloat16) for w in p)
+            for c, p in weights.items()
+        }
+
+    k_init, k_run = jax.random.split(key)
+    states = jnp.where(
+        jax.random.bernoulli(k_init, 0.5, (R, rows, cols)), 1.0, -1.0
+    ).astype(jnp.float32)
+    total = n_burnin + n_samples
+
+    if use_pallas:
+        from tsu_tpu.ops.checkerboard_bonds_pallas import (
+            checkerboard_sweeps_bonds_batched,
+        )
+
+        dtype = jnp.bfloat16 if discrete else jnp.float32
+
+        def sweep_all(k, states, t):
+            reds, blacks = jax.vmap(split_checkerboard)(states.astype(dtype))
+            # Per-(iteration, replica) seeds; the in-call counter covers
+            # the n_sweeps x 2 half-sweeps inside.
+            seeds = jax.random.randint(k, (R,), 0, 2**30, dtype=jnp.int32)
+            reds, blacks = checkerboard_sweeps_bonds_batched(
+                seeds, reds, blacks, weights, temperatures, n_sweeps,
+                periodic=periodic, discrete=discrete,
+            )
+            return jax.vmap(merge_checkerboard)(
+                reds.astype(jnp.float32), blacks.astype(jnp.float32))
+    else:
+
+        def sweep_all(k, states, t):
+            # XLA fallback: batched compact-plane halfsteps — replicas ride
+            # the leading axis, temperatures broadcast (R, 1, 1), the
+            # shared weight planes broadcast over replicas.
+            T = temperatures[:, None, None]
+            reds, blacks = jax.vmap(split_checkerboard)(states)
+            ks = jax.random.split(k, n_sweeps)
+
+            def sweep(c, kk):
+                reds, blacks = c
+                k_r, k_b = jax.random.split(kk)
+                reds = halfstep_bonds(k_r, blacks, weights["red"], True, T,
+                                      periodic)
+                blacks = halfstep_bonds(k_b, reds, weights["black"], False,
+                                        T, periodic)
+                return (reds, blacks), None
+
+            (reds, blacks), _ = jax.lax.scan(sweep, (reds, blacks), ks)
+            return jax.vmap(merge_checkerboard)(reds, blacks)
+
+    @partial(jax.jit, static_argnames=())
+    def run(states, keys, ts):
+        def body(carry, inp):
+            states, n_acc, n_att = carry
+            t, k = inp
+            k_sweep, k_swap = jax.random.split(k)
+            states = sweep_all(k_sweep, states, t)
+            energies = lattice_energy_bonds(states, Jh, Jv, field,
+                                            periodic=periodic)
+
+            def do_swap(args):
+                states, n_acc, n_att = args
+                offset = (t // swap_interval) % 2
+                perm, acc, att = _swap_permutation(k_swap, energies, betas,
+                                                   offset)
+                return states[perm], n_acc + acc, n_att + att
+
+            states, n_acc, n_att = jax.lax.cond(
+                (t + 1) % swap_interval == 0, do_swap, lambda a: a,
+                (states, n_acc, n_att),
+            )
+            return (states, n_acc, n_att), (states[0], energies)
+
+        return jax.lax.scan(body, (states, jnp.int32(0), jnp.int32(0)),
+                            (ts, keys))
+
+    ts = jnp.arange(total)
+    keys = jax.random.split(k_run, total)
+    (states, n_acc, n_att), (cold, energy_hist) = run(states, keys, ts)
+    n_acc = int(n_acc)
+    n_att = int(n_att)
+    info = {
+        "swap_acceptance_rate": n_acc / n_att if n_att > 0 else 0.0,
+        "swap_attempts": n_att,
+        "swap_accepts": n_acc,
+        "energies": jax.device_get(energy_hist),
+        "final_states": jax.device_get(states),
+        "discrete_table_path": bool(use_pallas and discrete),
+    }
+    return cold[n_burnin:], info
