@@ -51,3 +51,28 @@ def test_swaps_happen():
     assert out["swap_accepts"] > 0
     # Rung assignments actually move around.
     assert (out["rungs"][0] != out["rungs"][-1]).any() or out["swap_accepts"] > 5
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs >=2 devices")
+def test_replica_sharded_fused_path_interpret():
+    """The batched-fused local sweep inside the replica-sharded PT must run
+    under shard_map (interpret mode) and produce valid spins + swap stats."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from tsu_tpu.parallel import make_mesh
+    from tsu_tpu.parallel.tempering_sharded import (
+        parallel_tempering_replica_sharded,
+    )
+
+    mesh = make_mesh(replica=2)
+    with pltpu.force_tpu_interpret_mode():
+        out = parallel_tempering_replica_sharded(
+            mesh, jax.random.key(3), (8, 8),
+            temperatures=np.geomspace(1.5, 4.0, 4),
+            n_samples=3, swap_interval=1, n_sweeps=1, n_burnin=2,
+            use_pallas=True,
+        )
+    m = np.asarray(out["magnetization"])
+    assert m.shape == (3, 4)
+    assert np.all(np.abs(m) <= 1.0)
+    assert out["rungs"].shape == (3, 4)

@@ -53,6 +53,22 @@ def _local_sweeps(key, red, black, temperature, n_sweeps, J, field, periodic):
     return red, black
 
 
+def _local_sweeps_fused(key, reds, blacks, temperatures, n_sweeps, J, field,
+                        periodic):
+    """Per-device replica batch through the batched fused kernel: all local
+    rungs advance in one launch per sweep at their own temperatures (the
+    same program single-device ladders run — samplers/tempering.py)."""
+    from tsu_tpu.ops.checkerboard_fused import fused_sweeps_batched
+
+    B = reds.shape[0]
+    seeds = jax.random.randint(key, (B,), 0, 2**30, dtype=jnp.int32)
+    reds, blacks = fused_sweeps_batched(
+        seeds, reds.astype(jnp.bfloat16), blacks.astype(jnp.bfloat16),
+        temperatures, n_sweeps, J=J, field=field, periodic=periodic,
+    )
+    return reds.astype(jnp.float32), blacks.astype(jnp.float32)
+
+
 def _rung_swap(key, energies, rungs, betas_ladder, offset):
     """Deterministic even/odd rung exchange; identical on every device.
 
@@ -94,12 +110,17 @@ def parallel_tempering_replica_sharded(
     field: float = 0.0,
     periodic: bool = True,
     axis_name: str = "replica",
+    use_pallas: bool | None = None,
 ):
     """Replica-exchange over the ``replica`` mesh axis.
 
     n_replicas must be divisible by the mesh axis size (several replicas per
     device are folded into a local batch). Returns dict with per-sample
     (n_samples, n_replicas) magnetization, energy, rung traces, swap stats.
+
+    ``use_pallas`` (default auto: TPU + rows divisible by 8): each device
+    sweeps its local replica batch through the batched fused kernel, one
+    launch per sweep, each rung at its own temperature.
     """
     temperatures = jnp.asarray(temperatures, dtype=jnp.float32)
     n_rep = temperatures.shape[0]
@@ -107,6 +128,10 @@ def parallel_tempering_replica_sharded(
     assert n_rep % n_dev == 0, f"{n_rep} replicas on {n_dev} devices"
     per_dev = n_rep // n_dev
     rows, cols = shape
+    if use_pallas is None:
+        import jax as _jax
+
+        use_pallas = (_jax.default_backend() == "tpu" and rows % 8 == 0)
     n_sites = rows * cols
     betas_ladder = 1.0 / jnp.sort(temperatures)
     ladder_sorted = jnp.sort(temperatures)
@@ -145,10 +170,15 @@ def parallel_tempering_replica_sharded(
             t, k = inp
             my_T = ladder_sorted[rungs[my_slots]]  # (per_dev,)
             k_sweep = jax.random.fold_in(k, dev)
-            red_l, black_l = jax.vmap(
-                lambda kk, r, b, T: _local_sweeps(kk, r, b, T, n_sweeps, J,
-                                                  field, periodic)
-            )(jax.random.split(k_sweep, per_dev), red_l, black_l, my_T)
+            if use_pallas:
+                red_l, black_l = _local_sweeps_fused(
+                    k_sweep, red_l, black_l, my_T, n_sweeps, J, field,
+                    periodic)
+            else:
+                red_l, black_l = jax.vmap(
+                    lambda kk, r, b, T: _local_sweeps(kk, r, b, T, n_sweeps,
+                                                      J, field, periodic)
+                )(jax.random.split(k_sweep, per_dev), red_l, black_l, my_T)
 
             e_local = energies_of(red_l, black_l)  # (per_dev,)
             # Gather all replica energies (tiny) for the swap decision.
