@@ -129,9 +129,7 @@ def parallel_tempering_replica_sharded(
     per_dev = n_rep // n_dev
     rows, cols = shape
     if use_pallas is None:
-        import jax as _jax
-
-        use_pallas = (_jax.default_backend() == "tpu" and rows % 8 == 0)
+        use_pallas = jax.default_backend() == "tpu" and rows % 8 == 0
     n_sites = rows * cols
     betas_ladder = 1.0 / jnp.sort(temperatures)
     ladder_sorted = jnp.sort(temperatures)

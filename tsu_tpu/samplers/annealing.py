@@ -322,48 +322,77 @@ def anneal_spin_glass(
     schedule = jnp.asarray(
         make_schedule(T_initial, T_final, n_steps, cooling_schedule))
 
+    if use_pallas:
+        from tsu_tpu.ops.checkerboard_bonds_pallas import (
+            checkerboard_sweeps_bonds_pallas,
+        )
+
+        dtype = jnp.bfloat16 if discrete else jnp.float32
+        # Chunked best-state tracking entirely ON DEVICE in one jitted
+        # program per restart (r4 review: the first draft host-looped the
+        # chunks with a blocking energy sync per chunk — ~20 dispatches
+        # and host round-trips per restart; this is the anneal_lattice
+        # pattern). The XLA anneal tracks best per sweep; an energy eval
+        # costs ~one sweep, so the kernel path checks every ~n_steps/20
+        # sweeps. With n_steps=0 the initial lattice + its energy return.
+        track_every = max(1, n_steps // 20)
+        n_full = n_steps // track_every
+        rem = n_steps % track_every
+        sched_full = schedule[: n_full * track_every].reshape(
+            n_full, track_every) if n_full else schedule[:0]
+
+        @jax.jit
+        def run_pallas(lat0, seed):
+            red, black = split_checkerboard(lat0.astype(dtype))
+            e0 = lattice_energy_bonds(lat0, Jh, Jv, field, periodic=periodic)
+
+            def track(red, black, br, bb, be):
+                lat = merge_checkerboard(red.astype(jnp.float32),
+                                         black.astype(jnp.float32))
+                e = lattice_energy_bonds(lat, Jh, Jv, field,
+                                         periodic=periodic)
+                better = e < be
+                br = jnp.where(better, red, br)
+                bb = jnp.where(better, black, bb)
+                return br, bb, jnp.minimum(e, be)
+
+            def chunk(carry, inp):
+                red, black, br, bb, be = carry
+                ci, temps = inp
+                # Per-chunk seed stride: the in-call sweep counter restarts
+                # each chunk, so the base seed must differ (fold_seed
+                # avalanches the addition into an independent stream).
+                red, black = checkerboard_sweeps_bonds_pallas(
+                    seed + ci * jnp.int32(1_000_033), red, black, weights,
+                    temps, track_every, periodic=periodic,
+                    discrete=discrete,
+                )
+                br, bb, be = track(red, black, br, bb, be)
+                return (red, black, br, bb, be), None
+
+            carry = (red, black, red, black, e0)
+            if n_full > 0:
+                carry, _ = jax.lax.scan(
+                    chunk, carry, (jnp.arange(n_full), sched_full))
+            red, black, br, bb, be = carry
+            if rem > 0:
+                red, black = checkerboard_sweeps_bonds_pallas(
+                    seed + jnp.int32(n_full * 1_000_033), red, black,
+                    weights, schedule[-rem:], rem, periodic=periodic,
+                    discrete=discrete,
+                )
+                br, bb, be = track(red, black, br, bb, be)
+            return merge_checkerboard(br.astype(jnp.float32),
+                                      bb.astype(jnp.float32)), be
+
     best_state, best_e = None, float("inf")
     for r in range(n_restarts):
         k_init, k_run, key = jax.random.split(jax.random.fold_in(key, r), 3)
         lat0 = jnp.where(jax.random.bernoulli(k_init, 0.5, (R, C)), 1.0, -1.0)
         if use_pallas:
-            from tsu_tpu.ops.checkerboard_bonds_pallas import (
-                checkerboard_sweeps_bonds_pallas,
-            )
-
-            dtype = jnp.bfloat16 if discrete else jnp.float32
-            red, black = split_checkerboard(lat0.astype(dtype))
             seed = jax.random.randint(k_run, (), 0, 2**30, dtype=jnp.int32)
-            # Chunked best-state tracking (the XLA anneal tracks best per
-            # sweep; an energy eval costs ~one sweep, so the kernel path
-            # checks every ~n_steps/20 sweeps — r4 review finding: the
-            # first version returned only the FINAL state and could lose a
-            # better mid-schedule configuration).
-            n_chunks = min(20, n_steps)
-            bounds = np.linspace(0, n_steps, n_chunks + 1).astype(int)
-            # NOTE: names must not shadow the outer restart loop's
-            # best_state/best_e (an earlier draft reused best_e here and the
-            # outer comparison then never fired, returning state=None).
-            run_best_lat, run_best_e = None, float("inf")
-            for ci in range(n_chunks):
-                lo, hi = int(bounds[ci]), int(bounds[ci + 1])
-                if hi == lo:
-                    continue
-                # Per-chunk seed stride: the in-call sweep counter restarts
-                # each chunk, so the base seed must differ (fold_seed
-                # avalanches the addition into an independent stream).
-                red, black = checkerboard_sweeps_bonds_pallas(
-                    seed + jnp.int32(ci * 1_000_033), red, black, weights,
-                    schedule[lo:hi], hi - lo,
-                    periodic=periodic, discrete=discrete,
-                )
-                lat = merge_checkerboard(red.astype(jnp.float32),
-                                         black.astype(jnp.float32))
-                e_c = float(lattice_energy_bonds(lat, Jh, Jv, field,
-                                                 periodic=periodic))
-                if e_c < run_best_e:
-                    run_best_lat, run_best_e = lat, e_c
-            lat, e = run_best_lat, run_best_e
+            lat, e = run_pallas(lat0, seed)
+            lat, e = jnp.asarray(lat), float(e)
         else:
             lat, e = anneal_lattice_bonds(
                 k_run, lat0, Jh, Jv, T_initial=T_initial, T_final=T_final,

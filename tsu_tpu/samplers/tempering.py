@@ -52,6 +52,48 @@ def _swap_permutation(key, energies, betas, offset):
     return perm, n_acc, n_att
 
 
+def _state_exchange_run(key, states0, sweep_all, energy_of, betas, *,
+                        total: int, swap_interval: int, n_burnin: int):
+    """Shared replica-exchange driver for lattice-carrying PT variants.
+
+    ``sweep_all(k, states, t)`` advances every replica one round;
+    ``energy_of(states)`` returns per-replica energies. Returns
+    (cold_samples_after_burnin, energy_hist, final_states, n_acc, n_att)
+    — the scan/swap scaffolding lived in three near-identical copies
+    before r4's review consolidated it.
+    """
+
+    @partial(jax.jit, static_argnames=())
+    def run(states, keys, ts):
+        def body(carry, inp):
+            states, n_acc, n_att = carry
+            t, k = inp
+            k_sweep, k_swap = jax.random.split(k)
+            states = sweep_all(k_sweep, states, t)
+            energies = energy_of(states)
+
+            def do_swap(args):
+                states, n_acc, n_att = args
+                offset = (t // swap_interval) % 2
+                perm, acc, att = _swap_permutation(k_swap, energies, betas,
+                                                   offset)
+                return states[perm], n_acc + acc, n_att + att
+
+            states, n_acc, n_att = jax.lax.cond(
+                (t + 1) % swap_interval == 0, do_swap, lambda a: a,
+                (states, n_acc, n_att),
+            )
+            return (states, n_acc, n_att), (states[0], energies)
+
+        return jax.lax.scan(body, (states, jnp.int32(0), jnp.int32(0)),
+                            (ts, keys))
+
+    ts = jnp.arange(total)
+    keys = jax.random.split(key, total)
+    (states, n_acc, n_att), (cold, energy_hist) = run(states0, keys, ts)
+    return cold[n_burnin:], energy_hist, states, int(n_acc), int(n_att)
+
+
 @partial(
     jax.jit,
     static_argnames=("n_samples", "swap_interval", "n_sweeps", "n_burnin"),
@@ -199,42 +241,20 @@ def parallel_tempering_lattice(
                 )
             )(jax.random.split(k, R), states, temperatures)
 
-    @partial(jax.jit, static_argnames=())
-    def run(states, keys, ts):
-        def body(carry, inp):
-            states, n_acc, n_att = carry
-            t, k = inp
-            k_sweep, k_swap = jax.random.split(k)
-            states = sweep_all(k_sweep, states, t)
-            energies = lattice_energy_batch(states, J=J, field=field, periodic=periodic)
-
-            def do_swap(args):
-                states, n_acc, n_att = args
-                offset = (t // swap_interval) % 2
-                perm, acc, att = _swap_permutation(k_swap, energies, betas, offset)
-                return states[perm], n_acc + acc, n_att + att
-
-            states, n_acc, n_att = jax.lax.cond(
-                (t + 1) % swap_interval == 0, do_swap, lambda a: a,
-                (states, n_acc, n_att),
-            )
-            return (states, n_acc, n_att), (states[0], energies)
-
-        return jax.lax.scan(body, (states, jnp.int32(0), jnp.int32(0)), (ts, keys))
-
-    ts = jnp.arange(total)
-    keys = jax.random.split(k_run, total)
-    (states, n_acc, n_att), (cold, energy_hist) = run(states, keys, ts)
-    n_acc = int(n_acc)
-    n_att = int(n_att)
+    cold, energy_hist, finals, n_acc, n_att = _state_exchange_run(
+        k_run, states, sweep_all,
+        lambda st: lattice_energy_batch(st, J=J, field=field,
+                                        periodic=periodic),
+        betas, total=total, swap_interval=swap_interval, n_burnin=n_burnin,
+    )
     info = {
         "swap_acceptance_rate": n_acc / n_att if n_att > 0 else 0.0,
         "swap_attempts": n_att,
         "swap_accepts": n_acc,
         "energies": jax.device_get(energy_hist),
-        "final_states": jax.device_get(states),
+        "final_states": jax.device_get(finals),
     }
-    return cold[n_burnin:], info
+    return cold, info
 
 
 def parallel_tempering_bonds(
@@ -276,7 +296,6 @@ def parallel_tempering_bonds(
     from tsu_tpu.ops.checkerboard import merge_checkerboard, split_checkerboard
     from tsu_tpu.ops.checkerboard_bonds import (
         color_bond_weights,
-        halfstep_bonds,
         lattice_energy_bonds,
     )
     from tsu_tpu.samplers.annealing import discrete_table_applicable
@@ -288,7 +307,10 @@ def parallel_tempering_bonds(
     R = temperatures.shape[0]
     betas = 1.0 / temperatures
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu" and rows % 2 == 0
+        # Same gate as every sibling kernel path: the block/halo tiling
+        # requires rows % 8 == 0 (r4 review: a % 2 gate routed 100x100
+        # lattices into misaligned Pallas blocks instead of the XLA path).
+        use_pallas = jax.default_backend() == "tpu" and rows % 8 == 0
     discrete = discrete_table_applicable(Jh, Jv, field)
     weights = color_bond_weights(Jh, Jv, field, periodic=periodic)
     if use_pallas and discrete:
@@ -324,62 +346,32 @@ def parallel_tempering_bonds(
     else:
 
         def sweep_all(k, states, t):
-            # XLA fallback: batched compact-plane halfsteps — replicas ride
-            # the leading axis, temperatures broadcast (R, 1, 1), the
-            # shared weight planes broadcast over replicas.
-            T = temperatures[:, None, None]
+            # XLA fallback: the existing bond-sweep engine handles the
+            # replica batch directly — leading axis broadcasts through
+            # halfstep_bonds, temperatures ride (R, 1, 1).
+            from tsu_tpu.ops.checkerboard_bonds import (
+                checkerboard_sweeps_bonds,
+            )
+
             reds, blacks = jax.vmap(split_checkerboard)(states)
-            ks = jax.random.split(k, n_sweeps)
-
-            def sweep(c, kk):
-                reds, blacks = c
-                k_r, k_b = jax.random.split(kk)
-                reds = halfstep_bonds(k_r, blacks, weights["red"], True, T,
-                                      periodic)
-                blacks = halfstep_bonds(k_b, reds, weights["black"], False,
-                                        T, periodic)
-                return (reds, blacks), None
-
-            (reds, blacks), _ = jax.lax.scan(sweep, (reds, blacks), ks)
+            reds, blacks = checkerboard_sweeps_bonds(
+                k, reds, blacks, weights, temperatures[:, None, None],
+                n_sweeps, periodic=periodic,
+            )
             return jax.vmap(merge_checkerboard)(reds, blacks)
 
-    @partial(jax.jit, static_argnames=())
-    def run(states, keys, ts):
-        def body(carry, inp):
-            states, n_acc, n_att = carry
-            t, k = inp
-            k_sweep, k_swap = jax.random.split(k)
-            states = sweep_all(k_sweep, states, t)
-            energies = lattice_energy_bonds(states, Jh, Jv, field,
-                                            periodic=periodic)
-
-            def do_swap(args):
-                states, n_acc, n_att = args
-                offset = (t // swap_interval) % 2
-                perm, acc, att = _swap_permutation(k_swap, energies, betas,
-                                                   offset)
-                return states[perm], n_acc + acc, n_att + att
-
-            states, n_acc, n_att = jax.lax.cond(
-                (t + 1) % swap_interval == 0, do_swap, lambda a: a,
-                (states, n_acc, n_att),
-            )
-            return (states, n_acc, n_att), (states[0], energies)
-
-        return jax.lax.scan(body, (states, jnp.int32(0), jnp.int32(0)),
-                            (ts, keys))
-
-    ts = jnp.arange(total)
-    keys = jax.random.split(k_run, total)
-    (states, n_acc, n_att), (cold, energy_hist) = run(states, keys, ts)
-    n_acc = int(n_acc)
-    n_att = int(n_att)
+    cold, energy_hist, finals, n_acc, n_att = _state_exchange_run(
+        k_run, states, sweep_all,
+        lambda st: lattice_energy_bonds(st, Jh, Jv, field,
+                                        periodic=periodic),
+        betas, total=total, swap_interval=swap_interval, n_burnin=n_burnin,
+    )
     info = {
         "swap_acceptance_rate": n_acc / n_att if n_att > 0 else 0.0,
         "swap_attempts": n_att,
         "swap_accepts": n_acc,
         "energies": jax.device_get(energy_hist),
-        "final_states": jax.device_get(states),
+        "final_states": jax.device_get(finals),
         "discrete_table_path": bool(use_pallas and discrete),
     }
-    return cold[n_burnin:], info
+    return cold, info
