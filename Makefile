@@ -9,7 +9,7 @@
 # statistics -> extraction.
 round:           ## refresh every committed artifact from a clean HEAD
 	@git diff --quiet HEAD || (echo "ERROR: uncommitted (worktree or staged) changes — commit code first, then 'make round'" && exit 1)
-	python bench.py
+	python bench.py --write-artifact
 	python -m tsu_tpu.benchmarks.runner
 	python -m tsu_tpu.benchmarks.scaling --output-dir visual_output
 	python scripts/scaling_projection.py
@@ -24,7 +24,7 @@ tpu-test:        ## real-hardware kernel statistics; writes visual_output/tpu_te
 	sh scripts/run_tpu_tests.sh
 
 bench:           ## driver headline (one JSON line) + kernel_bench.json artifact
-	python bench.py
+	python bench.py --write-artifact
 
 suite:           ## full benchmark suite + committed artifacts
 	python -m tsu_tpu.benchmarks.runner
