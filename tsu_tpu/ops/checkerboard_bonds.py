@@ -139,6 +139,39 @@ def lattice_energy_bonds(lattice, Jh, Jv, field=0.0, *, periodic: bool = True):
     return -(eh + ev) - jnp.sum(field * s, axis=(-2, -1))
 
 
+@partial(jax.jit, static_argnames=("periodic",))
+def lattice_energy_bonds_planes(red, black, weights, *,
+                                periodic: bool = True):
+    """Per-replica energy straight from compact (..., R, C/2) color planes.
+
+    Every bond of the checkerboard graph joins a red and a black site, so
+    the pair energy is exactly -sum_red s_i * (weighted black neighbors)
+    with each bond counted once; the field term sums both colors. Equal to
+    lattice_energy_bonds(merge_checkerboard(red, black), ...) (validated in
+    tests) without the merge or a dtype round-trip — the hot PT loop calls
+    this every iteration on bf16 planes (+-J weights and +-1 spins make the
+    bf16 neighbor arithmetic exact; the site sum accumulates in f32).
+    """
+    w_up, w_down, w_left, w_right, f_r = weights["red"]
+    if periodic:
+        up_row, down_row = black[..., -1:, :], black[..., :1, :]
+    else:
+        z = jnp.zeros_like(black[..., :1, :])
+        up_row, down_row = z, z
+    up, down, left, right = _neighbor_values(black, up_row, down_row, True)
+    local = (w_up * up + w_down * down + w_left * left + w_right * right)
+    e_pairs = -jnp.sum(red.astype(jnp.float32) * local.astype(jnp.float32),
+                       axis=(-2, -1))
+    f_b = weights["black"][4]
+    e_field = -(
+        jnp.sum(jnp.asarray(f_r, jnp.float32)
+                * red.astype(jnp.float32), axis=(-2, -1))
+        + jnp.sum(jnp.asarray(f_b, jnp.float32)
+                  * black.astype(jnp.float32), axis=(-2, -1))
+    )
+    return e_pairs + e_field
+
+
 @partial(
     jax.jit,
     static_argnames=("n_samples", "n_burnin", "n_sweeps", "periodic",
