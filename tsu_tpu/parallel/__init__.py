@@ -14,7 +14,7 @@ Collectives are compiled by XLA over ICI/DCN; there is no hand-written
 transport (the idiomatic TPU replacement for NCCL/MPI).
 """
 
-from tsu_tpu.parallel.mesh import make_mesh, mesh_info
+from tsu_tpu.parallel.mesh import make_mesh, mesh_info, plan_lattice_mesh
 from tsu_tpu.parallel.lattice import sharded_checkerboard_sweeps, sharded_lattice_sample
 from tsu_tpu.parallel.smc_sharded import annealed_smc_sharded
 
@@ -22,6 +22,7 @@ __all__ = [
     "annealed_smc_sharded",
     "make_mesh",
     "mesh_info",
+    "plan_lattice_mesh",
     "sharded_checkerboard_sweeps",
     "sharded_lattice_sample",
 ]
