@@ -56,3 +56,49 @@ def test_anneal_spin_glass(capsys):
 def test_no_command_prints_help(capsys):
     assert main([]) == 1
     assert "usage" in capsys.readouterr().out.lower()
+
+
+def test_anneal_spin_glass_checkpoint_resume(capsys, tmp_path):
+    """CLI --checkpoint/--resume (r5 verdict #3): a resumed search returns
+    exactly what the uninterrupted one would (restart streams are
+    fold_in(key, restart))."""
+    ck = str(tmp_path / "ck")
+    args = ["anneal", "--spin-glass", "--size", "12", "--steps", "40",
+            "--restarts", "3", "--seed", "3"]
+    assert main(args) == 0
+    full = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # Partial run: 1 restart, checkpointed.
+    assert main(args[:6] + ["--restarts", "1", "--seed", "3",
+                            "--checkpoint", ck]) == 0
+    capsys.readouterr()
+    # Resume to 3 restarts: must reproduce the uninterrupted result.
+    assert main(args + ["--checkpoint", ck, "--resume"]) == 0
+    resumed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert resumed["best_energy"] == full["best_energy"]
+
+
+def test_anneal_ferromagnet_rejects_checkpoint(capsys):
+    rc = main(["anneal", "--size", "8", "--steps", "10",
+               "--checkpoint", "/tmp/nope"])
+    assert rc == 2
+    assert "spin-glass" in capsys.readouterr().err
+
+
+def test_runner_resume_skips_completed_suites(tmp_path, capsys):
+    import json as _json
+    import os
+
+    from tsu_tpu.benchmarks.runner import BenchmarkRunner
+
+    fake = {"seed": 0, "quick": True,
+            "suites": {"sampling": [{"name": "fake_row"}],
+                       "optimization": [], "ml": [], "comparison": []}}
+    os.makedirs(tmp_path, exist_ok=True)
+    with open(tmp_path / "benchmark_partial.json", "w") as f:
+        _json.dump(fake, f)
+    runner = BenchmarkRunner(seed=0, output_dir=str(tmp_path))
+    out = runner.run_all(quick=True, save_results=True, resume=True)
+    # Every suite came from the partial file; nothing re-ran.
+    assert out["suites"]["sampling"] == [{"name": "fake_row"}]
+    assert not os.path.exists(tmp_path / "benchmark_partial.json")
+    assert os.path.exists(tmp_path / "benchmark_results.json")

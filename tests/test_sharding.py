@@ -292,3 +292,61 @@ class TestPlanLatticeMesh:
                 # The CPU backend cannot lower a non-interpret Pallas call;
                 # the downgrade warning under test fires before lowering.
                 pass
+
+
+class TestShardedCheckpointResume:
+    """SURVEY §5.4 integration (r5 verdict #3): the sharded sampling loop
+    snapshots periodically, and a killed-and-resumed run is BIT-IDENTICAL
+    to an uninterrupted one (global-sample-index seed schedule)."""
+
+    def _run(self, key, lat0, mesh, **kw):
+        return sharded_lattice_sample(
+            mesh, key, lat0, n_samples=9, temperature=2.5, n_burnin=5,
+            n_sweeps=1, use_pallas=False, **kw)
+
+    def test_killed_and_resumed_matches_uninterrupted(self, tmp_path,
+                                                      monkeypatch):
+        mesh = make_mesh(rows=4, devices=jax.devices()[:4])
+        key = jax.random.key(42)
+        lat0 = jnp.where(
+            jax.random.bernoulli(jax.random.fold_in(key, 9), 0.5, (16, 16)),
+            1.0, -1.0)
+        full = self._run(key, lat0, mesh)
+
+        import tsu_tpu.checkpoint as ckpt_mod
+
+        real_save = ckpt_mod.save_state
+        calls = {"n": 0}
+
+        def dying_save(path, state, step=None):
+            out = real_save(path, state, step)
+            calls["n"] += 1
+            if calls["n"] == 2:
+                raise RuntimeError("simulated preemption")
+            return out
+
+        monkeypatch.setattr(ckpt_mod, "save_state", dying_save)
+        p = str(tmp_path / "ck")
+        with pytest.raises(RuntimeError, match="preemption"):
+            self._run(key, lat0, mesh, checkpoint_path=p, checkpoint_every=3)
+        monkeypatch.setattr(ckpt_mod, "save_state", real_save)
+
+        resumed = self._run(key, lat0, mesh, checkpoint_path=p,
+                            checkpoint_every=3, resume=True)
+        assert np.array_equal(np.asarray(full["magnetization"]),
+                              np.asarray(resumed["magnetization"]))
+        assert np.array_equal(np.asarray(full["energy"]),
+                              np.asarray(resumed["energy"]))
+        for a, b in zip(full["final_planes"], resumed["final_planes"]):
+            assert np.array_equal(np.asarray(a), np.asarray(b))
+
+    def test_chunked_without_kill_matches(self, tmp_path):
+        mesh = make_mesh(rows=4, devices=jax.devices()[:4])
+        key = jax.random.key(7)
+        lat0 = jnp.ones((16, 16), jnp.float32)
+        full = self._run(key, lat0, mesh)
+        chunked = self._run(key, lat0, mesh,
+                            checkpoint_path=str(tmp_path / "ck2"),
+                            checkpoint_every=4)
+        assert np.array_equal(np.asarray(full["magnetization"]),
+                              np.asarray(chunked["magnetization"]))

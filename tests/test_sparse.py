@@ -229,3 +229,59 @@ class TestNativeGibbs:
         out = s.sample_boltzmann(J, n_samples=50)
         assert out.shape == (50, 6)
         assert set(np.unique(out)) <= {0.0, 1.0}
+
+
+class TestSparseAnnealResume:
+    def test_chunked_matches_single_chunk(self):
+        import numpy as np
+
+        from tsu_tpu.ops.sparse_ising import ell_from_edges, sparse_anneal
+
+        rng = np.random.default_rng(0)
+        edges = rng.integers(0, 50, (200, 2))
+        edges = edges[edges[:, 0] != edges[:, 1]]
+        idx, w = ell_from_edges(50, edges, np.ones(len(edges)))
+        sched = np.geomspace(3.0, 0.1, 60).astype(np.float32)
+        args = (jax.random.key(3), jnp.asarray(idx), jnp.asarray(-w),
+                jnp.zeros(50), sched)
+        s1, e1 = sparse_anneal(*args, n_steps=60, n_chains=4)
+        s2, e2 = sparse_anneal(*args, n_steps=60, n_chains=4, chunk_steps=17)
+        assert float(e1) == float(e2)
+        assert np.array_equal(np.asarray(s1), np.asarray(s2))
+
+    def test_killed_and_resumed_matches(self, tmp_path, monkeypatch):
+        import numpy as np
+
+        import tsu_tpu.checkpoint as ckpt_mod
+        from tsu_tpu.ops.sparse_ising import ell_from_edges, sparse_anneal
+
+        rng = np.random.default_rng(1)
+        edges = rng.integers(0, 40, (150, 2))
+        edges = edges[edges[:, 0] != edges[:, 1]]
+        idx, w = ell_from_edges(40, edges, np.ones(len(edges)))
+        sched = np.geomspace(3.0, 0.1, 60).astype(np.float32)
+        args = (jax.random.key(5), jnp.asarray(idx), jnp.asarray(-w),
+                jnp.zeros(40), sched)
+        full_s, full_e = sparse_anneal(*args, n_steps=60, n_chains=4)
+
+        real_save = ckpt_mod.save_state
+        calls = {"n": 0}
+
+        def dying_save(path, state, step=None):
+            out = real_save(path, state, step)
+            calls["n"] += 1
+            if calls["n"] == 2:
+                raise RuntimeError("simulated preemption")
+            return out
+
+        monkeypatch.setattr(ckpt_mod, "save_state", dying_save)
+        p = str(tmp_path / "sa_ck")
+        with pytest.raises(RuntimeError, match="preemption"):
+            sparse_anneal(*args, n_steps=60, n_chains=4, chunk_steps=15,
+                          checkpoint_path=p)
+        monkeypatch.setattr(ckpt_mod, "save_state", real_save)
+        res_s, res_e = sparse_anneal(*args, n_steps=60, n_chains=4,
+                                     chunk_steps=15, checkpoint_path=p,
+                                     resume=True)
+        assert float(res_e) == float(full_e)
+        assert np.array_equal(np.asarray(res_s), np.asarray(full_s))

@@ -38,7 +38,13 @@ class BenchmarkRunner:
             "jax": jax.__version__,
         }
 
-    def run_all(self, quick: bool = False, save_results: bool = True) -> dict:
+    def run_all(self, quick: bool = False, save_results: bool = True,
+                resume: bool = False) -> dict:
+        """Run every suite. ``resume=True`` skips suites already recorded in
+        ``<output_dir>/benchmark_partial.json`` (written after each suite
+        completes, removed on success) — a preempted multi-minute run
+        restarts at the suite boundary instead of from scratch (SURVEY
+        §5.4 / r5 verdict #3)."""
         from tsu_tpu.profiling import enable_compilation_cache
 
         enable_compilation_cache()
@@ -52,31 +58,47 @@ class BenchmarkRunner:
         print(f"topology: {self._topology()}")
         print("=" * 64)
 
+        partial_path = os.path.join(self.output_dir,
+                                    "benchmark_partial.json")
         suites = {}
+        if resume and os.path.exists(partial_path):
+            with open(partial_path) as f:
+                part = json.load(f)
+            if part.get("seed") == self.seed and part.get("quick") == quick:
+                suites = part.get("suites", {})
+                print(f"resuming past completed suites: {sorted(suites)}")
+            else:
+                print("partial file is from a different seed/mode; ignoring")
 
-        print("\n[1/4] sampling quality ...")
-        sb = SamplingBenchmark(seed=self.seed)
-        suites["sampling"] = [r.summary() for r in sb.run_all_benchmarks(quick)]
-        for row in suites["sampling"]:
-            print("  ", row)
+        suite_defs = [
+            ("sampling", "sampling quality",
+             lambda: [r.summary() for r in SamplingBenchmark(
+                 seed=self.seed).run_all_benchmarks(quick)]),
+            ("optimization", "optimization",
+             lambda: [r.summary() for r in OptimizationBenchmark(
+                 seed=self.seed).run_all_benchmarks(quick)]),
+            ("ml", "ML / BNN calibration",
+             lambda: [r.summary() for r in MLBenchmark(
+                 seed=self.seed).run_all_benchmarks(quick)]),
+            ("comparison", "method comparisons",
+             lambda: [r.summary() for r in ComparisonBenchmark(
+                 seed=self.seed).run_all_comparisons(quick)]),
+        ]
+        for i, (name, title, fn) in enumerate(suite_defs):
+            if name in suites:
+                continue
+            print(f"\n[{i + 1}/{len(suite_defs)}] {title} ...")
+            suites[name] = fn()
+            for row in suites[name]:
+                print("  ", row)
+            if save_results:
+                os.makedirs(self.output_dir, exist_ok=True)
+                with open(partial_path, "w") as f:
+                    json.dump({"seed": self.seed, "quick": quick,
+                               "suites": suites}, f, default=str)
 
-        print("\n[2/4] optimization ...")
-        ob = OptimizationBenchmark(seed=self.seed)
-        suites["optimization"] = [r.summary() for r in ob.run_all_benchmarks(quick)]
-        for row in suites["optimization"]:
-            print("  ", row)
-
-        print("\n[3/4] ML / BNN calibration ...")
-        mb = MLBenchmark(seed=self.seed)
-        suites["ml"] = [r.summary() for r in mb.run_all_benchmarks(quick)]
-        for row in suites["ml"]:
-            print("  ", row)
-
-        print("\n[4/4] method comparisons ...")
-        cb = ComparisonBenchmark(seed=self.seed)
-        suites["comparison"] = [r.summary() for r in cb.run_all_comparisons(quick)]
-        for row in suites["comparison"]:
-            print("  ", row)
+        if save_results and os.path.exists(partial_path):
+            os.remove(partial_path)
 
         self.all_results = {
             "topology": self._topology(),
@@ -115,9 +137,12 @@ def main(argv: Optional[list] = None):
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--output-dir", default="visual_output")
     parser.add_argument("--no-save", action="store_true")
+    parser.add_argument("--resume", action="store_true",
+                        help="skip suites recorded in benchmark_partial.json")
     args = parser.parse_args(argv)
     runner = BenchmarkRunner(seed=args.seed, output_dir=args.output_dir)
-    runner.run_all(quick=args.quick, save_results=not args.no_save)
+    runner.run_all(quick=args.quick, save_results=not args.no_save,
+                   resume=args.resume)
 
 
 if __name__ == "__main__":

@@ -30,7 +30,7 @@ def _cmd_bench(args):
     from tsu_tpu.benchmarks.runner import BenchmarkRunner
 
     BenchmarkRunner(seed=args.seed, output_dir=args.output_dir).run_all(
-        quick=args.quick, save_results=not args.no_save
+        quick=args.quick, save_results=not args.no_save, resume=args.resume
     )
 
 
@@ -81,9 +81,15 @@ def _cmd_anneal(args):
         state, e = anneal_spin_glass(
             jax.random.fold_in(key, 2), Jh, Jv, n_steps=args.steps,
             n_restarts=args.restarts,
+            checkpoint_path=args.checkpoint, resume=args.resume,
         )
         model = "ea_pm1_spin_glass"
     else:
+        if args.checkpoint or args.resume:
+            print("error: --checkpoint/--resume apply to --spin-glass "
+                  "anneals (the ferromagnet anneal is a single sub-second "
+                  "launch with nothing to resume)", file=sys.stderr)
+            return 2
         from tsu_tpu.samplers.annealing import anneal_lattice
 
         state, e = anneal_lattice(
@@ -127,6 +133,9 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--output-dir", default="visual_output")
     p.add_argument("--no-save", action="store_true")
+    p.add_argument("--resume", action="store_true",
+                   help="continue a preempted run at the suite boundary "
+                        "(benchmark_partial.json)")
     p.set_defaults(fn=_cmd_bench)
 
     p = sub.add_parser("ising-sweep", help="phase-transition temperature sweep")
@@ -152,6 +161,12 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("--steps", type=int, default=2000)
     p.add_argument("--restarts", type=int, default=2,
                    help="independent chains/restarts (best energy kept)")
+    p.add_argument("--checkpoint", default=None,
+                   help="snapshot path: save search state after every "
+                        "restart (spin-glass mode)")
+    p.add_argument("--resume", action="store_true",
+                   help="continue from --checkpoint, skipping finished "
+                        "restarts (bit-identical to the uninterrupted run)")
     p.add_argument("--spin-glass", action="store_true",
                    help="random +-J Edwards-Anderson bonds instead of uniform J")
     p.add_argument("--seed", type=int, default=0)
@@ -164,8 +179,8 @@ def main(argv: Optional[list] = None) -> int:
     if not getattr(args, "fn", None):
         parser.print_help()
         return 1
-    args.fn(args)
-    return 0
+    rc = args.fn(args)
+    return 0 if rc is None else rc
 
 
 if __name__ == "__main__":

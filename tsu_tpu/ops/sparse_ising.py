@@ -73,7 +73,38 @@ def ell_energy(state, neighbor_idx, neighbor_w, h):
     return -0.5 * jnp.sum(state * f) - jnp.sum(h * state)
 
 
-@partial(jax.jit, static_argnames=("n_steps", "n_chains", "p_update"))
+@partial(jax.jit, static_argnames=("n", "p_update"))
+def _sparse_anneal_chunk(key, t0, schedule_chunk, s, best_s, best_e,
+                         neighbor_idx, neighbor_w, h, *, n: int,
+                         p_update: float):
+    """n annealing steps on all chains at once. Per-step keys are
+    fold_in(key, global_step), so the stream — and therefore a resumed
+    run — is independent of how the schedule is chunked."""
+    C, N = s.shape
+
+    def body(carry, inp):
+        s, best_s, best_e = carry
+        t, T = inp
+        k_mask, k_flip = jax.random.split(jax.random.fold_in(key, t))
+        fields = jax.vmap(
+            lambda ss: ell_local_fields(ss, neighbor_idx, neighbor_w, h))(s)
+        p_up = jax.nn.sigmoid(2.0 * fields / T)
+        u = jax.random.uniform(k_flip, (C, N))
+        proposal = jnp.where(u < p_up, 1.0, -1.0)
+        mask = jax.random.bernoulli(k_mask, p_update, (C, N))
+        s = jnp.where(mask, proposal, s)
+        e = jax.vmap(
+            lambda ss: ell_energy(ss, neighbor_idx, neighbor_w, h))(s)
+        better = e < best_e
+        best_s = jnp.where(better[:, None], s, best_s)
+        best_e = jnp.minimum(e, best_e)
+        return (s, best_s, best_e), None
+
+    (s, best_s, best_e), _ = jax.lax.scan(
+        body, (s, best_s, best_e), (t0 + jnp.arange(n), schedule_chunk))
+    return s, best_s, best_e
+
+
 def sparse_anneal(
     key,
     neighbor_idx,
@@ -84,44 +115,66 @@ def sparse_anneal(
     n_steps: int,
     n_chains: int = 8,
     p_update: float = 0.5,
+    chunk_steps: int | None = None,
+    checkpoint_path: str | None = None,
+    resume: bool = False,
 ):
     """Anneal sparse Ising spins over a temperature schedule (n_steps,).
 
-    Returns (best_state (N,), best_energy) over all chains/steps. Runs as one
-    compiled scan; chains vmapped (shardable over the chains mesh axis).
+    Returns (best_state (N,), best_energy) over all chains/steps. Runs as
+    chunked compiled scans over the whole chain batch (shardable over the
+    chains mesh axis). ``checkpoint_path`` snapshots (states, bests, step)
+    after every chunk (default 500 steps when checkpointing) and
+    ``resume=True`` continues a killed anneal — bit-identical to the
+    uninterrupted run because step keys are fold_in(key, global_step)
+    (SURVEY §5.4 / r5 verdict #3: the 42 s 100k-node MAX-CUT anneal could
+    not previously survive preemption).
     """
     N = neighbor_idx.shape[0]
-
-    def chain(key, s0):
-        def body(carry, inp):
-            s, best_s, best_e = carry
-            T, k = inp
-            k_mask, k_flip = jax.random.split(k)
-            fields = ell_local_fields(s, neighbor_idx, neighbor_w, h)
-            p_up = jax.nn.sigmoid(2.0 * fields / T)
-            u = jax.random.uniform(k_flip, (N,))
-            proposal = jnp.where(u < p_up, 1.0, -1.0)
-            mask = jax.random.bernoulli(k_mask, p_update, (N,))
-            s = jnp.where(mask, proposal, s)
-            e = ell_energy(s, neighbor_idx, neighbor_w, h)
-            better = e < best_e
-            best_s = jnp.where(better, s, best_s)
-            best_e = jnp.minimum(e, best_e)
-            return (s, best_s, best_e), None
-
-        e0 = ell_energy(s0, neighbor_idx, neighbor_w, h)
-        (s, best_s, best_e), _ = jax.lax.scan(
-            body, (s0, s0, e0), (schedule, jax.random.split(key, n_steps))
-        )
-        return best_s, best_e
-
+    if chunk_steps is None:
+        chunk_steps = n_steps if checkpoint_path is None \
+            else max(1, min(n_steps, 500))
     k_init, k_run = jax.random.split(key)
-    s0 = jnp.where(
+    s = jnp.where(
         jax.random.bernoulli(k_init, 0.5, (n_chains, N)), 1.0, -1.0
     ).astype(jnp.float32)
-    best_states, best_es = jax.vmap(chain)(jax.random.split(k_run, n_chains), s0)
-    i = jnp.argmin(best_es)
-    return best_states[i], best_es[i]
+    best_s = s
+    best_e = jax.vmap(
+        lambda ss: ell_energy(ss, neighbor_idx, neighbor_w, h))(s)
+    done = 0
+
+    if resume and checkpoint_path is not None:
+        import os
+
+        from tsu_tpu.checkpoint import restore_state
+
+        ckpt_file = checkpoint_path if checkpoint_path.endswith(".npz") \
+            else checkpoint_path + ".npz"
+        if os.path.exists(ckpt_file) or os.path.exists(checkpoint_path):
+            st = restore_state(checkpoint_path, {
+                "s": s, "best_s": best_s, "best_e": best_e,
+                "done": jnp.int32(0)})
+            s = jnp.asarray(st["s"])
+            best_s = jnp.asarray(st["best_s"])
+            best_e = jnp.asarray(st["best_e"])
+            done = int(st["done"])
+
+    schedule = jnp.asarray(schedule, jnp.float32)
+    while done < n_steps:
+        n = min(chunk_steps, n_steps - done)
+        s, best_s, best_e = _sparse_anneal_chunk(
+            k_run, jnp.int32(done), schedule[done:done + n],
+            s, best_s, best_e, neighbor_idx, neighbor_w, h,
+            n=n, p_update=p_update)
+        done += n
+        if checkpoint_path is not None:
+            from tsu_tpu.checkpoint import save_state
+
+            save_state(checkpoint_path, {
+                "s": s, "best_s": best_s, "best_e": best_e,
+                "done": jnp.int32(done)})
+    i = jnp.argmin(best_e)
+    return best_s[i], best_e[i]
 
 
 def maxcut_sparse(
@@ -134,11 +187,14 @@ def maxcut_sparse(
     n_chains: int = 8,
     T_initial: float = 3.0,
     T_final: float = 0.05,
+    checkpoint_path: str | None = None,
+    resume: bool = False,
 ) -> dict:
     """Anneal MAX-CUT on a sparse graph: J = -W (antiferromagnetic).
 
     Returns dict with spins, cut_value, energy. Scales to 100k+ nodes
-    (memory O(N * K), not O(N^2)).
+    (memory O(N * K), not O(N^2)). ``checkpoint_path``/``resume`` snapshot
+    and continue the anneal (see sparse_anneal).
     """
     idx, w = ell_from_edges(n, edges, weights)
     w_ising = -w  # cut maximization == antiferro Ising ground state
@@ -150,6 +206,7 @@ def maxcut_sparse(
     best_s, best_e = sparse_anneal(
         key, jnp.asarray(idx), jnp.asarray(w_ising), jnp.asarray(h), schedule,
         n_steps=n_steps, n_chains=n_chains,
+        checkpoint_path=checkpoint_path, resume=resume,
     )
     s = np.asarray(best_s)
     # cut = 1/4 sum_ij W_ij (1 - s_i s_j) over the full symmetric W.

@@ -27,6 +27,9 @@ from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
+
+import numpy as np
+
 from jax.sharding import Mesh, NamedSharding
 from jax.sharding import PartitionSpec as P
 from jax import shard_map
@@ -435,6 +438,9 @@ def sharded_lattice_sample(
     col_axis: str | None = None,
     fused: bool | None = None,
     dtype=None,
+    checkpoint_path: str | None = None,
+    checkpoint_every: int = 0,
+    resume: bool = False,
 ):
     """Sample observables from a spatially-sharded lattice in ONE compiled
     program (row sharding, or 2-D row×column sharding when ``col_axis`` is
@@ -449,6 +455,13 @@ def sharded_lattice_sample(
     storage dtype: default bfloat16 on the fused path (the headline-kernel
     configuration; +-1 spins are exact in bf16, observables accumulate in
     f32), float32 otherwise.
+
+    ``checkpoint_path`` + ``checkpoint_every`` (in samples) run the program
+    in chunks and snapshot the sharded planes + collected observables after
+    each chunk (SURVEY.md §5.4: the 4096^2 multi-host runs are exactly the
+    runs that must survive preemption); ``resume=True`` continues a killed
+    run. The seed/counter schedule is keyed by GLOBAL sample index, so the
+    resumed run is bit-identical to the uninterrupted one.
     """
     n_shards = mesh.shape[axis_name]
     R, C = lattice0.shape
@@ -471,18 +484,69 @@ def sharded_lattice_sample(
         )
     if dtype is None:
         dtype = jnp.bfloat16 if fused else jnp.float32
-    fn = _sharded_sample_fn(mesh, n_samples, n_burnin, n_sweeps, float(J),
-                            float(field), periodic, use_pallas, axis_name,
-                            col_axis, fused)
     red, black = split_checkerboard(jnp.asarray(lattice0, dtype=dtype))
     sharding = NamedSharding(mesh, P(axis_name, col_axis))
     red = jax.device_put(red, sharding)
     black = jax.device_put(black, sharding)
-    ms, es, red, black = fn(key, red, black,
-                            jnp.asarray(temperature, jnp.float32))
+    T = jnp.asarray(temperature, jnp.float32)
+    burn_offset = jnp.int32(n_burnin)
+
+    if checkpoint_path is None or checkpoint_every <= 0:
+        fn = _sharded_sample_fn(mesh, n_samples, n_burnin, n_sweeps,
+                                float(J), float(field), periodic, use_pallas,
+                                axis_name, col_axis, fused)
+        ms, es, red, black = fn(key, red, black, T, jnp.int32(0),
+                                burn_offset)
+        return {
+            "magnetization": ms,
+            "energy": es,
+            "final_planes": (red, black),
+        }
+
+    # Chunked + checkpointed: identical seed/counter schedule (global
+    # sample indices), sharded planes snapshotted after every chunk.
+    from tsu_tpu.checkpoint import restore_state, save_state
+
+    import os as _os
+
+    obs_path = checkpoint_path + "_obs.npz"
+    done = 0
+    ms_parts: list = []
+    es_parts: list = []
+    if resume and _os.path.exists(obs_path):
+        # Planes + the authoritative ``done`` ride the (sharded-aware)
+        # checkpointer; the growing observable arrays live in a plain npz
+        # side file so their shape never has to match a restore example.
+        # The obs file is written BEFORE the planes snapshot, so on a
+        # crash between the two writes the planes' ``done`` is the older
+        # one and the obs arrays are simply sliced back to it.
+        st = restore_state(checkpoint_path,
+                           {"red": red, "black": black, "done": jnp.int32(0)})
+        done = int(st["done"])
+        red = jax.device_put(jnp.asarray(st["red"], dtype), sharding)
+        black = jax.device_put(jnp.asarray(st["black"], dtype), sharding)
+        if done > 0:
+            obs = np.load(obs_path)
+            ms_parts = [np.asarray(obs["ms"])[:done]]
+            es_parts = [np.asarray(obs["es"])[:done]]
+
+    while done < n_samples:
+        n = min(checkpoint_every, n_samples - done)
+        fn = _sharded_sample_fn(mesh, n, n_burnin if done == 0 else 0,
+                                n_sweeps, float(J), float(field), periodic,
+                                use_pallas, axis_name, col_axis, fused)
+        ms, es, red, black = fn(key, red, black, T, jnp.int32(done),
+                                burn_offset)
+        ms_parts.append(np.asarray(ms))
+        es_parts.append(np.asarray(es))
+        done += n
+        np.savez(obs_path, ms=np.concatenate(ms_parts),
+                 es=np.concatenate(es_parts))
+        save_state(checkpoint_path,
+                   {"red": red, "black": black, "done": jnp.int32(done)})
     return {
-        "magnetization": ms,
-        "energy": es,
+        "magnetization": jnp.asarray(np.concatenate(ms_parts)),
+        "energy": jnp.asarray(np.concatenate(es_parts)),
         "final_planes": (red, black),
     }
 
@@ -503,11 +567,17 @@ def _sharded_sample_fn(mesh, n_samples, n_burnin, n_sweeps, J, field,
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(), spec, spec, P()),
+        in_specs=(P(), spec, spec, P(), P(), P()),
         out_specs=(P(), P(), spec, spec),
         check_vma=False,
     )
-    def run(key, red_l, black_l, T):
+    def run(key, red_l, black_l, T, start, burn_offset):
+        # ``start``: global index of the first sample this call produces;
+        # ``burn_offset``: the run's total burn-in sweeps. Both traced so a
+        # checkpointed continuation replays the exact seed/counter schedule
+        # of the uninterrupted program (sample i always folds 1 + i and
+        # sweeps from burn_offset + i * n_sweeps, no matter which chunk
+        # executes it).
         shard = jax.lax.axis_index(axis_name)
         n_sites = 2 * red_l.shape[0] * red_l.shape[1] * jax.lax.axis_size(axis_name)
         if col_axis is not None:
@@ -540,15 +610,17 @@ def _sharded_sample_fn(mesh, n_samples, n_burnin, n_sweeps, J, field,
             )
             return red_l, black_l
 
-        red_l, black_l = sweeps(
-            (red_l, black_l), jnp.int32(0), jax.random.fold_in(key, 0), n_burnin
-        )
+        if n_burnin > 0:  # continuation chunks build with n_burnin == 0
+            red_l, black_l = sweeps(
+                (red_l, black_l), jnp.int32(0), jax.random.fold_in(key, 0),
+                n_burnin
+            )
 
         def collect(carry, i):
             red_l, black_l = carry
             red_l, black_l = sweeps(
                 (red_l, black_l),
-                n_burnin + i * n_sweeps,
+                burn_offset + i * n_sweeps,
                 jax.random.fold_in(key, 1 + i),
                 n_sweeps,
             )
@@ -558,7 +630,7 @@ def _sharded_sample_fn(mesh, n_samples, n_burnin, n_sweeps, J, field,
             return (red_l, black_l), (m / n_sites, e)
 
         (red_l, black_l), (ms, es) = jax.lax.scan(
-            collect, (red_l, black_l), jnp.arange(n_samples)
+            collect, (red_l, black_l), start + jnp.arange(n_samples)
         )
         return ms, es, red_l, black_l
 

@@ -287,11 +287,18 @@ def anneal_spin_glass(
     n_restarts: int = 1,
     periodic: bool = True,
     use_pallas: bool | None = None,
+    checkpoint_path: str | None = None,
+    resume: bool = False,
 ):
     """Ground-state search on a DISORDERED lattice (per-bond couplings, e.g.
     the +-J Edwards-Anderson spin glass): annealed checkerboard sweeps with
     a per-sweep temperature schedule, best state over ``n_restarts``
     independent anneals. Returns (best_state (R, C), best_energy).
+
+    ``checkpoint_path`` snapshots (best state, best energy, restarts done)
+    after every completed restart; ``resume=True`` skips finished restarts.
+    Each restart's stream is fold_in(key, restart), so the resumed search
+    returns exactly what the uninterrupted one would (SURVEY §5.4).
 
     On TPU the schedule runs through the Pallas bond kernel; +-1 bonds with
     an integer field auto-select the discrete threshold-table path
@@ -386,8 +393,25 @@ def anneal_spin_glass(
                                       bb.astype(jnp.float32)), be
 
     best_state, best_e = None, float("inf")
-    for r in range(n_restarts):
-        k_init, k_run, key = jax.random.split(jax.random.fold_in(key, r), 3)
+    r_start = 0
+    if resume and checkpoint_path is not None:
+        import os
+
+        from tsu_tpu.checkpoint import restore_state
+
+        ckpt_file = checkpoint_path if checkpoint_path.endswith(".npz") \
+            else checkpoint_path + ".npz"
+        if os.path.exists(ckpt_file) or os.path.exists(checkpoint_path):
+            st = restore_state(checkpoint_path, {
+                "best_state": jnp.zeros((R, C), jnp.float32),
+                "best_e": jnp.float32(0.0),
+                "restarts_done": jnp.int32(0)})
+            r_start = int(st["restarts_done"])
+            if r_start > 0:
+                best_state = np.asarray(st["best_state"])
+                best_e = float(st["best_e"])
+    for r in range(r_start, n_restarts):
+        k_init, k_run = jax.random.split(jax.random.fold_in(key, r))
         lat0 = jnp.where(jax.random.bernoulli(k_init, 0.5, (R, C)), 1.0, -1.0)
         if use_pallas:
             seed = jax.random.randint(k_run, (), 0, 2**30, dtype=jnp.int32)
@@ -401,4 +425,11 @@ def anneal_spin_glass(
             lat, e = jnp.asarray(lat), float(e)
         if e < best_e:
             best_state, best_e = np.asarray(lat), e
+        if checkpoint_path is not None:
+            from tsu_tpu.checkpoint import save_state
+
+            save_state(checkpoint_path, {
+                "best_state": jnp.asarray(best_state, jnp.float32),
+                "best_e": jnp.float32(best_e),
+                "restarts_done": jnp.int32(r + 1)})
     return best_state, best_e
