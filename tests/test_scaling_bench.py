@@ -62,3 +62,13 @@ class TestProjection:
         )
         # Halo bytes: 2 rows x C/2 cols x itemsize x 2 directions.
         assert fast["halo_bytes_per_sweep_per_shard"] == 2 * 2048 * 2 * 2
+
+    def test_bnn_dp_scaling_smoke(self):
+        from tsu_tpu.benchmarks.scaling import measure_bnn_dp_scaling
+
+        out = measure_bnn_dp_scaling(points_per_device=64, dim=2, hidden=8,
+                                     n_epochs=2)
+        assert out["1_device"]["points_per_s"] > 0
+        assert np.isfinite(out["all_devices"]["loss_final"])
+        assert out["all_devices"]["n_points"] == \
+            64 * out["all_devices"]["n_devices"]

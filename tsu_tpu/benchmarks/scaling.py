@@ -128,6 +128,82 @@ def measure_chains_scaling(
     return results
 
 
+def measure_bnn_dp_scaling(
+    points_per_device: int = 16384,
+    dim: int = 8,
+    hidden: int = 64,
+    n_epochs: int = 20,
+    seed: int = 0,
+) -> dict:
+    """BNN ELBO training points/s with the batch data-parallel over the
+    chains axis (SURVEY §2.2; cf. the reference's epoch loop,
+    tsu/ml.py:400-430, which is single-process NumPy).
+
+    Weak scaling: points_per_device x n_devices synthetic regression points
+    (>= 1e5 on the full 8-way mesh), full-batch jitted ELBO steps; XLA
+    inserts the gradient psum from the sharding. Same honest shared-host
+    caveat as every row here (_efficiency)."""
+    import optax
+
+    from tsu_tpu.models.ml import _init_layer, elbo_loss
+
+    devices = jax.devices()
+    results = {}
+    for label, devs in (("1_device", devices[:1]), ("all_devices", devices)):
+        n_dev = len(devs)
+        mesh = make_mesh(chains=n_dev, devices=devs)
+        n_points = points_per_device * n_dev
+        rng = np.random.default_rng(seed)
+        x_np = rng.normal(size=(n_points, dim)).astype(np.float32)
+        y_np = np.sin(x_np.sum(axis=1, keepdims=True)).astype(np.float32)
+        shard = NamedSharding(mesh, P("chains", None))
+        x = jax.device_put(jnp.asarray(x_np), shard)
+        y = jax.device_put(jnp.asarray(y_np), shard)
+
+        keys = jax.random.split(jax.random.key(seed), 4)
+        params = [_init_layer(keys[0], dim, hidden),
+                  _init_layer(keys[1], hidden, 1)]
+        optimizer = optax.adam(1e-2)
+        opt_state = optimizer.init(params)
+
+        @jax.jit
+        def train_step(params, opt_state, key, x, y):
+            (loss, _), grads = jax.value_and_grad(
+                lambda p: elbo_loss(p, key, x, y, kl_weight=1e-3, n_mc=2,
+                                    temperature=1.0, activation="relu",
+                                    prior_std=1.0),
+                has_aux=True,
+            )(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        def run(params, opt_state):
+            loss = None
+            for e in range(n_epochs):
+                params, opt_state, loss = train_step(
+                    params, opt_state, jax.random.fold_in(keys[2], e), x, y)
+            return params, opt_state, loss
+
+        params, opt_state, loss = run(params, opt_state)  # compile + warm
+        _sync(loss)
+        t0 = time.perf_counter()
+        params, opt_state, loss = run(params, opt_state)
+        _sync(loss)
+        dt = time.perf_counter() - t0
+        results[label] = {
+            "n_devices": n_dev,
+            "points_per_s": n_points * n_epochs / dt,
+            "loss_final": float(loss),
+            "n_points": n_points,
+            "time_s": dt,
+        }
+    n_dev = results["all_devices"]["n_devices"]
+    results.update(_efficiency(results["1_device"]["points_per_s"],
+                               results["all_devices"]["points_per_s"],
+                               n_dev))
+    return results
+
+
 def measure_lattice_scaling(
     rows_per_device: int = 1024,
     cols: int = 4096,
@@ -274,6 +350,7 @@ def main():
             "shared_host_virtual_mesh": _shared_host(),
         },
         "chains": measure_chains_scaling(),
+        "bnn_dp": measure_bnn_dp_scaling(),
         "lattice": measure_lattice_scaling(
             rows_per_device=256 if backend != "tpu" else 1024,
             cols=1024 if backend != "tpu" else 4096,
