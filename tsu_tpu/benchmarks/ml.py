@@ -143,7 +143,8 @@ class MLBenchmark:
                               time.perf_counter() - t0)
 
     def benchmark_sinusoid_mcmc(self, n_train: int = 100,
-                                n_epochs: int = 800) -> MLResult:
+                                n_epochs: int = 800,
+                                quick: bool = False) -> MLResult:
         """Full-Bayes row: MALA over the EXACT weight posterior
         (BNNPosterior via ``predict_mcmc``) on the same sinusoid split as
         the VI row — the framework's signature estimator benchmarked next
@@ -154,6 +155,13 @@ class MLBenchmark:
         A short VI fit supplies the chain initialization (posterior-mean
         start) and the learned observation noise; the MALA chains then
         sample the unfactorized posterior itself.
+
+        ``quick=True`` runs a scaled-down variant (one 16-unit hidden
+        layer, 800 burn-in, 128 draws) so the full-Bayes path gets live
+        benchmark signal every round, marked ``indicative_only``: the
+        half-budget burn-in on a smaller posterior exercises the pipeline
+        and catches regressions, but its calibration numbers are not the
+        committed full-mode claim (r5 verdict #8).
         """
         rng = np.random.default_rng(self.seed)
         x = rng.uniform(-1, 1, (n_train, 1)).astype(np.float32)
@@ -161,17 +169,23 @@ class MLBenchmark:
         x_test = np.linspace(-1, 1, 200)[:, None].astype(np.float32)
         y_test = (np.sin(3 * x_test)
                   + 0.1 * rng.normal(size=x_test.shape)).astype(np.float32)
-        reg = BayesianRegressor(1, [32, 32], seed=self.seed)
+        hidden = [16] if quick else [32, 32]
+        reg = BayesianRegressor(1, hidden, seed=self.seed)
         t0 = time.perf_counter()
-        reg.fit(x, y, n_epochs=n_epochs, batch_size=n_train,
-                learning_rate=0.01, kl_weight=0.1)
-        res = reg.predict_mcmc(x, y, x_test, n_samples=512, n_chains=16,
-                               n_burnin=3000)
+        reg.fit(x, y, n_epochs=300 if quick else n_epochs,
+                batch_size=n_train, learning_rate=0.01, kl_weight=0.1)
+        res = reg.predict_mcmc(x, y, x_test,
+                               n_samples=128 if quick else 512,
+                               n_chains=8 if quick else 16,
+                               n_burnin=800 if quick else 3000)
         elapsed = time.perf_counter() - t0
+        extra = {"estimator": "mala_full_bayes",
+                 "n_posterior_draws": int(res.samples.shape[0])}
+        if quick:
+            extra["indicative_only"] = True
         return self._evaluate(
-            "sinusoid_mcmc", reg, x_test, y_test, elapsed, res=res,
-            extra={"estimator": "mala_full_bayes",
-                   "n_posterior_draws": int(res.samples.shape[0])},
+            "sinusoid_mcmc_quick" if quick else "sinusoid_mcmc",
+            reg, x_test, y_test, elapsed, res=res, extra=extra,
         )
 
     def benchmark_extrapolation(self, n_train: int = 80,
@@ -220,9 +234,8 @@ class MLBenchmark:
         # members train as one vmapped scan (~2 s), and under-trained
         # members sit away from their anchors, which skews OOD coverage.
         self.benchmark_extrapolation(n_epochs=2000)
-        # Full-Bayes MALA row: full mode only — the chains need their whole
-        # burn-in to equilibrate the 1.2k-dim weight posterior, and a
-        # half-budget row would report meaningless calibration.
-        if not quick:
-            self.benchmark_sinusoid_mcmc()
+        # Full-Bayes MALA row: the full-budget 1.2k-dim posterior runs in
+        # full mode only; quick mode runs the scaled-down indicative
+        # variant so the path gets live signal every round (r5 verdict #8).
+        self.benchmark_sinusoid_mcmc(quick=quick)
         return self.results
