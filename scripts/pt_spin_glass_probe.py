@@ -56,16 +56,19 @@ def main():
         "feedback_rounds": info["feedback_rounds_run"],
     }), flush=True)
 
+    hd_every = int(os.environ.get("PT_HD_EVERY", "0"))
+    chunk = int(os.environ.get("PT_CHUNK", "0")) or None
     t0 = time.perf_counter()
     out = pt_ground_state_search(
         jax.random.fold_in(key, 3), Jh, Jv, temperatures=temps,
         n_iters=n_iters, n_sweeps=n_sweeps, n_copies=n_copies,
-        quench_sweeps=256)
+        houdayer_every=hd_every, quench_sweeps=256, chunk_iters=chunk)
     t_run = time.perf_counter() - t0
     gap = (out["energy_per_site"] - EA_GS_DENSITY) / abs(EA_GS_DENSITY)
     print(json.dumps({
         "stage": "gs", "L": L, "n_iters": n_iters,
         "n_copies": n_copies, "n_sweeps": n_sweeps,
+        "houdayer_every": hd_every,
         "energy_per_site": round(out["energy_per_site"], 5),
         "gap_vs_lit": round(gap, 5),
         "swap_acc": round(out["swap_acceptance_rate"], 3),

