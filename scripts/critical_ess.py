@@ -201,6 +201,37 @@ def main():
            "Ls": Ls.astype(int).tolist(), "taus_sweeps": taus.tolist()}
     print(json.dumps({"fit": fit}), flush=True)
 
+    # Wolff cluster yardstick (host oracle): what cluster updates would buy
+    # at T_c, in MEASURED sweep-equivalents (cluster_size / N per step) —
+    # the quantitative basis for the build/don't-build decision on a TPU
+    # cluster kernel (docs/BENCHMARKS.md).
+    from tsu_tpu.oracle.wolff import wolff_chain
+    from tsu_tpu.ops.stats import effective_sample_size
+
+    wolff_rows = []
+    for L in ([16] if quick else [64, 128]):
+        w = wolff_chain(20260821, L, T_C,
+                        n_steps=1500 if quick else 4000)
+        n = len(w["m_abs"])
+        ess = effective_sample_size(w["m_abs"])
+        tau_steps = n / (2.0 * ess)
+        tau_sweq = tau_steps * w["sweep_equiv_per_step"]
+        row = {
+            "L": L, "T": T_C,
+            "tau_int_M_wolff_steps": round(tau_steps, 2),
+            "sweep_equiv_per_step": round(w["sweep_equiv_per_step"], 4),
+            "tau_int_M_sweep_equivalents": round(tau_sweq, 3),
+            "mean_abs_m": round(float(w["m_abs"].mean()), 5),
+            "mean_cluster_size": round(w["mean_cluster_size"], 1),
+        }
+        hb = next((r for r in rows
+                   if r["L"] == L and r["label"].startswith("Tc")), None)
+        if hb is not None:
+            row["heatbath_tau_over_wolff_tau_sweeps"] = round(
+                hb["tau_int_M_sweeps"] / max(tau_sweq, 1e-9), 1)
+        wolff_rows.append(row)
+        print(json.dumps({"wolff": row}), flush=True)
+
     out = {
         "date": date.today().isoformat(),
         "git_sha": subprocess.run(
@@ -210,6 +241,7 @@ def main():
         "backend": jax.default_backend(),
         "rows": rows,
         "fit_Tc": fit,
+        "wolff_Tc": wolff_rows,
     }
 
     if not quick:
