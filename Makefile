@@ -13,6 +13,7 @@ round:           ## refresh every committed artifact from a clean HEAD
 	python -m tsu_tpu.benchmarks.runner
 	python -m tsu_tpu.benchmarks.scaling --output-dir visual_output
 	python scripts/scaling_projection.py
+	python scripts/critical_ess.py
 	sh scripts/run_tpu_tests.sh
 	python scripts/extract_benchmarks.py
 	@echo "round artifacts refreshed at $$(git rev-parse --short HEAD)"
