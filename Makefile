@@ -11,6 +11,7 @@ round:           ## refresh every committed artifact from a clean HEAD
 	@git diff --quiet HEAD || (echo "ERROR: uncommitted (worktree or staged) changes — commit code first, then 'make round'" && exit 1)
 	python bench.py --write-artifact
 	python -m tsu_tpu.benchmarks.runner
+	python -m tsu_tpu.benchmarks.runner --quick --output-dir visual_output/quick
 	python -m tsu_tpu.benchmarks.scaling --output-dir visual_output
 	python scripts/scaling_projection.py
 	python scripts/critical_ess.py

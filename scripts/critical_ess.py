@@ -33,6 +33,8 @@ from datetime import date
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -82,37 +84,52 @@ def measure_series(key, L, T, *, thin, n_meas, burnin, use_pallas=None):
             return checkerboard_sweeps_planes(
                 k, red, black, T, n, J=1.0, field=0.0, periodic=True)
 
-    @jax.jit
-    def run(planes):
-        def burn(carry, t):
-            return sweeps(carry, t, thin), None
+    def meas(carry, t):
+        planes = sweeps(carry, t, thin)
+        red, black = planes
+        m = (jnp.sum(red.astype(jnp.float32))
+             + jnp.sum(black.astype(jnp.float32))) / n_sites
+        lat = merge_checkerboard(red.astype(jnp.float32),
+                                 black.astype(jnp.float32))
+        e = lattice_energy_batch(lat, J=1.0, field=0.0,
+                                 periodic=True) / n_sites
+        return planes, (jnp.abs(m), e)
 
-        n_burn_chunks = max(burnin // thin, 1)
-        planes, _ = jax.lax.scan(burn, planes, jnp.arange(n_burn_chunks))
+    @partial(jax.jit, static_argnames=("n",))
+    def run_chunk(planes, t0c, n):
+        return jax.lax.scan(meas, planes, t0c + jnp.arange(n))
 
-        def meas(carry, t):
-            planes = sweeps(carry, t, thin)
-            red, black = planes
-            m = (jnp.sum(red.astype(jnp.float32))
-                 + jnp.sum(black.astype(jnp.float32))) / n_sites
-            lat = merge_checkerboard(red.astype(jnp.float32),
-                                     black.astype(jnp.float32))
-            e = lattice_energy_batch(lat, J=1.0, field=0.0,
-                                     periodic=True) / n_sites
-            return planes, (jnp.abs(m), e)
+    # Chunked host loop: single device executions beyond ~2 minutes crash
+    # the tunneled TPU worker (observed twice), so the series is produced
+    # in launches of a few million sweeps each. Burn-in reuses the same
+    # compiled chunk (its observables are discarded — one program, and
+    # the observable cost is a few percent of thin sweeps).
+    chunk_iters = max(1, min(50_000, 3_000_000 // thin))
+    n_burn_chunks = max(burnin // thin, 1)
+    planes = split_checkerboard(lat0.astype(dtype))
+    # Warm-up/compile with a tiny chunk before timing.
+    planes_w, _ = run_chunk(planes, jnp.int32(0), n=chunk_iters)
+    np.asarray(planes_w[0][:2, :2])
 
-        planes, (m_abs, e) = jax.lax.scan(
-            meas, planes, n_burn_chunks + jnp.arange(n_meas))
-        return planes, m_abs, e
-
-    planes0 = split_checkerboard(lat0.astype(dtype))
-    planes, m_abs, e = run(planes0)  # compile + run
-    np.asarray(m_abs[:2])  # force completion before timing the warm run
     t0 = time.perf_counter()
-    planes, m_abs, e = run(planes0)
-    m_abs, e = np.asarray(m_abs), np.asarray(e)
+    done = 0
+    while done < n_burn_chunks:
+        n = min(chunk_iters, n_burn_chunks - done)
+        planes, _ = run_chunk(planes, jnp.int32(done), n=n)
+        done += n
+    ms, es = [], []
+    done = n_burn_chunks
+    total = n_burn_chunks + n_meas
+    while done < total:
+        n = min(chunk_iters, total - done)
+        planes, (m, e) = run_chunk(planes, jnp.int32(done), n=n)
+        ms.append(np.asarray(m))
+        es.append(np.asarray(e))
+        done += n
     dt = time.perf_counter() - t0
-    total_sweeps = (max(burnin // thin, 1) + n_meas) * thin
+    m_abs = np.concatenate(ms)
+    e = np.concatenate(es)
+    total_sweeps = (n_burn_chunks + n_meas) * thin
     return m_abs, e, total_sweeps / dt
 
 
@@ -176,8 +193,8 @@ def main():
     for i, L in enumerate(tc_sizes):
         tg = tau_guess(L)
         thin = max(1, int(tg / 400))
-        n_meas = 20_000 if quick else min(200_000, max(
-            60_000, int(400 * tg / thin)))
+        n_meas = 20_000 if quick else min(120_000, max(
+            60_000, int(250 * tg / thin)))
         burnin = int(10 * tg)
         rows.append(run_row(jax.random.fold_in(key, i), L, T_C,
                             thin=thin, n_meas=n_meas, burnin=burnin,

@@ -79,18 +79,55 @@ def render(results, headlines) -> str:
                         "| " + " | ".join(str(row.get(k, "")) for k in keys) + " |"
                     )
             lines.append("")
+    q = _load_json(os.path.join(REPO, "visual_output", "quick",
+                                "benchmark_results.json"))
+    if q:
+        lines += [
+            "### quick-mode wall (regression-tracked, r5 target <= 60 s "
+            "warm)", "",
+            f"- total_time_s: {q.get('total_time_s')} "
+            f"(backend {q.get('topology', {}).get('backend')}, "
+            f"seed {q.get('seed')})", "",
+        ]
     for sc in sorted(glob.glob(os.path.join(REPO, "visual_output",
                                             "scaling_*.json"))):
         d = _load_json(sc)
         if not d:
             continue
         lines += [f"### scaling ({os.path.basename(sc)})", ""]
-        for row in ("chains", "lattice"):
-            r = d.get(row, {})
+        for row in ("chains", "bnn_dp", "lattice"):
+            r = d.get(row)
+            if r is None:
+                continue
             lines.append(
                 f"- {row}: efficiency={r.get('efficiency')} "
                 f"(ideal: {r.get('ideal', 'n/a')})"
             )
+        lines.append("")
+    ce = _load_json(os.path.join(REPO, "visual_output", "critical_ess.json"))
+    if ce:
+        lines += ["### statistical efficiency at criticality "
+                  "(critical_ess.json)", ""]
+        for r in ce.get("rows", []):
+            lines.append(
+                f"- {r['label']}: tau_int(|M|)={r['tau_int_M_sweeps']} "
+                f"sweeps, ESS(|M|)/s={r['ess_M_per_s']}")
+        fit = ce.get("fit_Tc", {})
+        proj = ce.get("projection_4096_Tc", {})
+        if fit:
+            lines.append(f"- fit: tau = {fit.get('A')} * L^{fit.get('z')}")
+        if proj:
+            lines.append(
+                f"- 4096^2 @ T_c projected: tau_int(|M|) ~ "
+                f"{proj.get('tau_int_M_sweeps_projected'):.3g} sweeps, "
+                f"{proj.get('seconds_per_independent_M_sample')} s per "
+                f"independent |M| sample")
+        for w in ce.get("wolff_Tc", []):
+            lines.append(
+                f"- wolff L={w['L']}: tau_int(|M|)="
+                f"{w['tau_int_M_sweep_equivalents']} sweep-equivalents "
+                f"(heat-bath/wolff = "
+                f"{w.get('heatbath_tau_over_wolff_tau_sweeps')}x)")
         lines.append("")
     tpu_log = os.path.join(REPO, "visual_output", "tpu_test_log.txt")
     if os.path.exists(tpu_log):

@@ -97,7 +97,7 @@ from tsu_tpu.visualization import (
 # Alias mirroring the reference (`tsu/__init__.py:22`).
 TSU = ThermalSamplingUnit
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"
 
 __all__ = [
     # Core

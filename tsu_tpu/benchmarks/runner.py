@@ -88,9 +88,11 @@ class BenchmarkRunner:
             if name in suites:
                 continue
             print(f"\n[{i + 1}/{len(suite_defs)}] {title} ...")
+            t_suite = time.perf_counter()
             suites[name] = fn()
             for row in suites[name]:
                 print("  ", row)
+            print(f"  [{name}: {time.perf_counter() - t_suite:.1f}s wall]")
             if save_results:
                 os.makedirs(self.output_dir, exist_ok=True)
                 with open(partial_path, "w") as f:

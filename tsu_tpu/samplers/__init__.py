@@ -10,7 +10,16 @@ from tsu_tpu.samplers.langevin import sample_langevin, make_langevin_step
 from tsu_tpu.samplers.gibbs import GibbsSampler, dense_gibbs_sample
 from tsu_tpu.samplers.hmc import sample_hmc, sample_hmc_adaptive
 from tsu_tpu.samplers.mala import sample_mala
-from tsu_tpu.samplers.tempering import parallel_tempering_dense, parallel_tempering_lattice
+from tsu_tpu.samplers.tempering import (
+    parallel_tempering_bonds,
+    parallel_tempering_dense,
+    parallel_tempering_lattice,
+)
+from tsu_tpu.samplers.tempering_ladder import (
+    build_tempering_ladder,
+    houdayer_move,
+    pt_ground_state_search,
+)
 from tsu_tpu.samplers.annealing import simulated_annealing_dense, anneal_lattice
 from tsu_tpu.samplers.nuts import sample_nuts
 from tsu_tpu.samplers.smc import annealed_smc
@@ -25,8 +34,12 @@ __all__ = [
     "sample_hmc_adaptive",
     "sample_mala",
     "sample_nuts",
+    "build_tempering_ladder",
+    "houdayer_move",
+    "parallel_tempering_bonds",
     "parallel_tempering_dense",
     "parallel_tempering_lattice",
+    "pt_ground_state_search",
     "simulated_annealing_dense",
     "anneal_lattice",
     "annealed_smc",

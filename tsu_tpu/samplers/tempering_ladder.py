@@ -491,7 +491,8 @@ def pt_ground_state_search(
     every that many iterations to the coldest ``houdayer_frac`` of each
     rung's copy-pair — rejection-free barrier crossing that single-spin
     dynamics cannot reach (measured at 256^2: closes the last ~0.1% of
-    the gap to the literature GS density that plain PT plateaus above). Every iteration advances all replicas ``n_sweeps``
+    the gap to the literature GS density that plain PT plateaus above).
+    Every iteration advances all replicas ``n_sweeps``
     sweeps through the batched bond kernel, tracks the best energy seen per
     replica slot on device, and attempts adjacent swaps; afterwards every
     slot's best state descends through a batched low-temperature quench
@@ -520,8 +521,13 @@ def pt_ground_state_search(
                         use_pallas=use_pallas)
 
     if chunk_iters is None:
-        chunk_iters = n_iters if checkpoint_path is None \
-            else max(1, min(n_iters, 500))
+        # Always bounded: single device executions beyond ~2 minutes crash
+        # the tunneled TPU worker (observed repeatedly at 256^2 x 30k
+        # iterations), and checkpointing needs chunk boundaries anyway.
+        # The stream is chunking-invariant, so this only affects launch
+        # granularity.
+        chunk_iters = max(1, min(n_iters,
+                                 500 if checkpoint_path else 3000))
 
     k_init, key = jax.random.split(key)
     reds, blacks = ops.init_planes(k_init, B, rows, cols)
