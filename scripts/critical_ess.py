@@ -99,12 +99,13 @@ def measure_series(key, L, T, *, thin, n_meas, burnin, use_pallas=None):
     def run_chunk(planes, t0c, n):
         return jax.lax.scan(meas, planes, t0c + jnp.arange(n))
 
-    # Chunked host loop: single device executions beyond ~2 minutes crash
-    # the tunneled TPU worker (observed twice), so the series is produced
-    # in launches of a few million sweeps each. Burn-in reuses the same
-    # compiled chunk (its observables are discarded — one program, and
-    # the observable cost is a few percent of thin sweeps).
-    chunk_iters = max(1, min(50_000, 3_000_000 // thin))
+    # Chunked host loop: long single device executions crash the tunneled
+    # TPU worker (observed repeatedly), so the series is produced in
+    # launches budgeted by FLIPS (~1e12 per launch, iteration-capped for
+    # small lattices where per-iteration overhead dominates). Burn-in
+    # reuses the same compiled chunk (its observables are discarded — one
+    # program; the observable cost is a few percent of thin sweeps).
+    chunk_iters = max(1, min(20_000, int(1e12 // (thin * n_sites))))
     n_burn_chunks = max(burnin // thin, 1)
     planes = split_checkerboard(lat0.astype(dtype))
     # Warm-up/compile with a tiny chunk before timing.
