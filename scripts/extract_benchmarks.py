@@ -117,11 +117,15 @@ def render(results, headlines) -> str:
         if fit:
             lines.append(f"- fit: tau = {fit.get('A')} * L^{fit.get('z')}")
         if proj:
+            secs = proj.get(
+                "seconds_per_independent_M_sample_at_kernel_rate",
+                [proj.get("seconds_per_independent_M_sample")])
             lines.append(
                 f"- 4096^2 @ T_c projected: tau_int(|M|) ~ "
-                f"{proj.get('tau_int_M_sweeps_projected'):.3g} sweeps, "
-                f"{proj.get('seconds_per_independent_M_sample')} s per "
-                f"independent |M| sample")
+                f"{proj.get('tau_int_M_sweeps_projected_fit', proj.get('tau_int_M_sweeps_projected')):.3g}"
+                f"-{proj.get('tau_int_M_sweeps_projected_z2.17', 0):.3g} "
+                f"sweeps; {secs} s per independent |M| sample at the "
+                f"headline kernel rate")
         for w in ce.get("wolff_Tc", []):
             lines.append(
                 f"- wolff L={w['L']}: tau_int(|M|)="

@@ -543,3 +543,145 @@ def test_bond_batched_matches_unbatched(discrete):
             )
             assert jnp.array_equal(jnp.asarray(r1), jnp.asarray(rb[b])), b
             assert jnp.array_equal(jnp.asarray(b1), jnp.asarray(bb[b])), b
+
+
+@pytest.mark.parametrize("periodic", [True, False])
+def test_bond_kernel_packed_codes_exact(periodic):
+    """The packed-code discrete path (ONE bf16 code plane instead of five
+    weight planes — the r5 bandwidth optimization) must reproduce the
+    unpacked discrete kernel bit-for-bit under injected uniforms."""
+    from tsu_tpu.ops.checkerboard_bonds import (
+        color_bond_weights,
+        pack_bond_codes,
+    )
+    from tsu_tpu.ops.checkerboard_bonds_pallas import (
+        checkerboard_sweeps_bonds_pallas,
+    )
+
+    R = C = 16
+    T = 1.1
+    key = jax.random.key(70)
+    Jh = jnp.where(jax.random.bernoulli(jax.random.fold_in(key, 0), 0.5,
+                                        (R, C)), 1.0, -1.0)
+    # Include zero bonds (open-boundary style) in-plane to cover w = 0.
+    Jv = jnp.where(jax.random.bernoulli(jax.random.fold_in(key, 1), 0.3,
+                                        (R, C)), 0.0, 1.0) * jnp.where(
+        jax.random.bernoulli(jax.random.fold_in(key, 2), 0.5, (R, C)),
+        1.0, -1.0)
+    weights = color_bond_weights(Jh, Jv, 0.0, periodic=periodic)
+    weights16 = {
+        color: tuple(jnp.asarray(w, jnp.bfloat16) for w in planes)
+        for color, planes in weights.items()
+    }
+    codes = pack_bond_codes(weights)
+    red, black = _random_planes(jax.random.key(71), R, C)
+    n_sweeps = 2
+    U = jax.random.randint(jax.random.key(72), (n_sweeps, 2, R, C // 2),
+                           0, 1 << 24, jnp.int32)
+    with pltpu.force_tpu_interpret_mode():
+        r_u, b_u = checkerboard_sweeps_bonds_pallas(
+            jnp.int32(0), red.astype(jnp.bfloat16),
+            black.astype(jnp.bfloat16), weights16, T, n_sweeps,
+            periodic=periodic, uniforms=U, discrete=True,
+        )
+        r_p, b_p = checkerboard_sweeps_bonds_pallas(
+            jnp.int32(0), red.astype(jnp.bfloat16),
+            black.astype(jnp.bfloat16), codes, T, n_sweeps,
+            periodic=periodic, uniforms=U, discrete=True, packed=True,
+        )
+    assert jnp.array_equal(jnp.asarray(r_u), jnp.asarray(r_p))
+    assert jnp.array_equal(jnp.asarray(b_u), jnp.asarray(b_p))
+
+
+def test_bond_batched_packed_matches_unpacked():
+    """Batched packed-code path (block-major grid, shared code block) vs
+    batched weight planes: identical spins in interpret mode."""
+    from tsu_tpu.ops.checkerboard_bonds import (
+        color_bond_weights,
+        pack_bond_codes,
+    )
+    from tsu_tpu.ops.checkerboard_bonds_pallas import (
+        checkerboard_sweeps_bonds_batched,
+    )
+
+    B, R, C = 3, 16, 16
+    key = jax.random.key(80)
+    Jh = jnp.where(jax.random.bernoulli(jax.random.fold_in(key, 0), 0.5,
+                                        (R, C)), 1.0, -1.0)
+    Jv = jnp.where(jax.random.bernoulli(jax.random.fold_in(key, 1), 0.5,
+                                        (R, C)), 1.0, -1.0)
+    weights = color_bond_weights(Jh, Jv, 0.0, periodic=True)
+    codes = pack_bond_codes(weights)
+    lats = jnp.where(jax.random.bernoulli(jax.random.fold_in(key, 2), 0.5,
+                                          (B, R, C)), 1.0, -1.0)
+    reds, blacks = jax.vmap(split_checkerboard)(lats)
+    Ts = jnp.array([0.7, 1.4, 2.8], jnp.float32)
+    seeds = jnp.array([5, 6, 7], jnp.int32)
+    with pltpu.force_tpu_interpret_mode():
+        r_u, b_u = checkerboard_sweeps_bonds_batched(
+            seeds, reds.astype(jnp.bfloat16), blacks.astype(jnp.bfloat16),
+            weights, Ts, 2, periodic=True, discrete=True)
+        r_p, b_p = checkerboard_sweeps_bonds_batched(
+            seeds, reds.astype(jnp.bfloat16), blacks.astype(jnp.bfloat16),
+            codes, Ts, 2, periodic=True, discrete=True, packed=True)
+    assert jnp.array_equal(jnp.asarray(r_u), jnp.asarray(r_p))
+    assert jnp.array_equal(jnp.asarray(b_u), jnp.asarray(b_p))
+
+
+def test_pack_bond_codes_roundtrip():
+    from tsu_tpu.ops.checkerboard_bonds import (
+        color_bond_weights,
+        pack_bond_codes,
+    )
+
+    key = jax.random.key(90)
+    Jh = jnp.where(jax.random.bernoulli(jax.random.fold_in(key, 0), 0.5,
+                                        (12, 12)), 1.0, -1.0)
+    Jv = jnp.where(jax.random.bernoulli(jax.random.fold_in(key, 1), 0.5,
+                                        (12, 12)), 1.0, -1.0)
+    weights = color_bond_weights(Jh, Jv, 0.0, periodic=False)
+    codes = pack_bond_codes(weights)
+    for color in ("red", "black"):
+        c = np.asarray(codes[color], np.float64).astype(np.int64)
+        wu, wd, wl, wr, _ = (np.asarray(w, np.float64)
+                             for w in weights[color])
+        assert np.array_equal((c & 3) - 1, wu)
+        assert np.array_equal(((c >> 2) & 3) - 1, wd)
+        assert np.array_equal(((c >> 4) & 3) - 1, wl)
+        assert np.array_equal(((c >> 6) & 3) - 1, wr)
+
+
+def test_bond_kernel_pure_parity_table_exact():
+    """pure=True (periodic all-+-1 bonds -> even local field, 5-entry
+    parity table) must equal the general 9-entry path bit-for-bit."""
+    from tsu_tpu.ops.checkerboard_bonds import (
+        color_bond_weights,
+        pack_bond_codes,
+    )
+    from tsu_tpu.ops.checkerboard_bonds_pallas import (
+        checkerboard_sweeps_bonds_pallas,
+    )
+    from tsu_tpu.samplers.annealing import pure_pm1_applicable
+
+    R = C = 16
+    key = jax.random.key(95)
+    Jh = jnp.where(jax.random.bernoulli(jax.random.fold_in(key, 0), 0.5,
+                                        (R, C)), 1.0, -1.0)
+    Jv = jnp.where(jax.random.bernoulli(jax.random.fold_in(key, 1), 0.5,
+                                        (R, C)), 1.0, -1.0)
+    assert pure_pm1_applicable(Jh, Jv, 0.0, True)
+    assert not pure_pm1_applicable(Jh, Jv, 0.0, False)  # open -> odd fields
+    codes = pack_bond_codes(color_bond_weights(Jh, Jv, 0.0, periodic=True))
+    red, black = _random_planes(jax.random.key(96), R, C)
+    U = jax.random.randint(jax.random.key(97), (2, 2, R, C // 2),
+                           0, 1 << 24, jnp.int32)
+    with pltpu.force_tpu_interpret_mode():
+        outs = [
+            checkerboard_sweeps_bonds_pallas(
+                jnp.int32(0), red.astype(jnp.bfloat16),
+                black.astype(jnp.bfloat16), codes, 1.1, 2, periodic=True,
+                uniforms=U, discrete=True, packed=True, pure=pure)
+            for pure in (False, True)
+        ]
+    assert jnp.array_equal(jnp.asarray(outs[0][0]), jnp.asarray(outs[1][0]))
+    assert jnp.array_equal(jnp.asarray(outs[0][1]), jnp.asarray(outs[1][1]))

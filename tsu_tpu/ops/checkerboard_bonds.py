@@ -69,6 +69,24 @@ def color_bond_weights(Jh, Jv, field=0.0, periodic: bool = True):
     return out
 
 
+def pack_bond_codes(weights):
+    """Pack the discrete-path weight planes into ONE bf16 code plane per
+    color: bits (2i, 2i+1) of the code hold w_i + 1 for (up, down, left,
+    right), values 0..170 — exact in bf16 (8 mantissa bits cover integers
+    to 256). The +-J kernel path is HBM-bound at 4 weight planes + field
+    (~14 B/site/sweep measured at the roofline); a single 2-byte code
+    drops it to ~6 B/site, which moves the bound past the kernel's VPU
+    ceiling. Requires the discrete contract: every weight in {-1, 0, +1}
+    and zero field (discrete_table_applicable).
+    """
+    out = {}
+    for color, (wu, wd, wl, wr, f) in weights.items():
+        code = ((wu + 1.0) + (wd + 1.0) * 4.0 + (wl + 1.0) * 16.0
+                + (wr + 1.0) * 64.0)
+        out[color] = jnp.asarray(code, jnp.bfloat16)
+    return out
+
+
 def _neighbor_values(other, up_row, down_row, update_red):
     """The four neighbor-value planes (up, down, left, right) of one color,
     in compact layout (cf. neighbor_sum_half_halo, which returns their sum).

@@ -274,6 +274,22 @@ def discrete_table_applicable(Jh, Jv, field) -> bool:
     )
 
 
+def pure_pm1_applicable(Jh, Jv, field, periodic: bool) -> bool:
+    """True when the 5-entry even-parity threshold path is EXACT: every
+    bond +-1 (no zeros), zero field, periodic lattice — the 4-term local
+    field is then always even, halving the kernel's select chain (the
+    fused uniform kernel's parity trick). Zero bonds or open boundaries
+    produce odd local fields and need the full 9-entry table."""
+    Jh = jnp.asarray(Jh)
+    Jv = jnp.asarray(Jv)
+    return bool(
+        periodic
+        and float(field) == 0.0
+        and jnp.all(jnp.abs(Jh) == 1.0)
+        and jnp.all(jnp.abs(Jv) == 1.0)
+    )
+
+
 def anneal_spin_glass(
     key,
     Jh,
@@ -320,12 +336,18 @@ def anneal_spin_glass(
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu" and R % 8 == 0
     discrete = discrete_table_applicable(Jh, Jv, field)
+    pure = discrete and pure_pm1_applicable(Jh, Jv, field, periodic)
     weights = color_bond_weights(Jh, Jv, field, periodic=periodic)
-    if use_pallas and discrete:
-        weights = {
-            c: tuple(jnp.asarray(w, jnp.bfloat16) for w in p)
-            for c, p in weights.items()
-        }
+    packed = bool(use_pallas and discrete)
+    if packed:
+        # One bf16 code plane per color instead of five weight planes:
+        # the discrete kernel measured at the HBM roofline, so packing is
+        # a direct throughput win (pack_bond_codes).
+        from tsu_tpu.ops.checkerboard_bonds import pack_bond_codes
+
+        kernel_weights = pack_bond_codes(weights)
+    else:
+        kernel_weights = weights
     schedule = jnp.asarray(
         make_schedule(T_initial, T_final, n_steps, cooling_schedule))
 
@@ -370,9 +392,9 @@ def anneal_spin_glass(
                 # each chunk, so the base seed must differ (fold_seed
                 # avalanches the addition into an independent stream).
                 red, black = checkerboard_sweeps_bonds_pallas(
-                    seed + ci * jnp.int32(1_000_033), red, black, weights,
-                    temps, track_every, periodic=periodic,
-                    discrete=discrete,
+                    seed + ci * jnp.int32(1_000_033), red, black,
+                    kernel_weights, temps, track_every, periodic=periodic,
+                    discrete=discrete, packed=packed, pure=pure,
                 )
                 br, bb, be = track(red, black, br, bb, be)
                 return (red, black, br, bb, be), None
@@ -385,8 +407,8 @@ def anneal_spin_glass(
             if rem > 0:
                 red, black = checkerboard_sweeps_bonds_pallas(
                     seed + jnp.int32(n_full * 1_000_033), red, black,
-                    weights, schedule[-rem:], rem, periodic=periodic,
-                    discrete=discrete,
+                    kernel_weights, schedule[-rem:], rem, periodic=periodic,
+                    discrete=discrete, packed=packed, pure=pure,
                 )
                 br, bb, be = track(red, black, br, bb, be)
             return merge_checkerboard(br.astype(jnp.float32),

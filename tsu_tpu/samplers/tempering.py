@@ -289,16 +289,27 @@ class _BondPlaneOps:
             # requires rows % 8 == 0 (r4 review: a % 2 gate routed 100x100
             # lattices into misaligned Pallas blocks instead of XLA).
             use_pallas = jax.default_backend() == "tpu" and rows % 8 == 0
+        from tsu_tpu.samplers.annealing import pure_pm1_applicable
+
         self.discrete = discrete_table_applicable(Jh, Jv, field)
+        self.pure = bool(self.discrete
+                         and pure_pm1_applicable(Jh, Jv, field, periodic))
         self.use_pallas = bool(use_pallas)
         self.periodic = periodic
         self.Jh, self.Jv, self.field = Jh, Jv, field
         weights = color_bond_weights(Jh, Jv, field, periodic=periodic)
-        if self.use_pallas and self.discrete:
-            weights = {
-                c: tuple(jnp.asarray(w, jnp.bfloat16) for w in p)
-                for c, p in weights.items()
-            }
+        # energy_planes consumes the plain weight planes regardless of how
+        # the sweep kernel stores its couplings.
+        self.energy_weights = weights
+        self.packed = bool(self.use_pallas and self.discrete)
+        if self.packed:
+            # Discrete +-J kernel path: ONE bf16 code plane per color
+            # instead of five weight planes — the kernel was measured at
+            # the HBM roofline, so this is a direct throughput win
+            # (ops/checkerboard_bonds.pack_bond_codes).
+            from tsu_tpu.ops.checkerboard_bonds import pack_bond_codes
+
+            weights = pack_bond_codes(weights)
         self.weights = weights
         self.dtype = (jnp.bfloat16
                       if self.use_pallas and self.discrete else jnp.float32)
@@ -324,6 +335,7 @@ class _BondPlaneOps:
             return checkerboard_sweeps_bonds_batched(
                 seeds, reds, blacks, self.weights, temperatures, n_sweeps,
                 periodic=self.periodic, discrete=self.discrete,
+                packed=self.packed, pure=self.pure,
             )
         # XLA fallback: the bond halfstep broadcasts over the replica
         # batch directly, temperatures ride (B, 1, 1).
@@ -339,7 +351,8 @@ class _BondPlaneOps:
             lattice_energy_bonds_planes,
         )
 
-        return lattice_energy_bonds_planes(reds, blacks, self.weights,
+        return lattice_energy_bonds_planes(reds, blacks,
+                                           self.energy_weights,
                                            periodic=self.periodic)
 
     def merge(self, reds, blacks):
