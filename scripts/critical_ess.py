@@ -102,35 +102,36 @@ def measure_series(key, L, T, *, thin, n_meas, burnin, use_pallas=None):
     # Chunked host loop: long single device executions crash the tunneled
     # TPU worker (observed repeatedly), so the series is produced in
     # launches budgeted by FLIPS (~1e12 per launch, iteration-capped for
-    # small lattices where per-iteration overhead dominates). Burn-in
-    # reuses the same compiled chunk (its observables are discarded — one
-    # program; the observable cost is a few percent of thin sweeps).
+    # small lattices where per-iteration overhead dominates). Burn-in and
+    # measurement chunks are padded UP to one uniform chunk size — extra
+    # burn-in/measurements are harmless, and a single static shape means
+    # the one warm-up call compiles the ONLY program the timed loop runs
+    # (review r5: mixed chunk sizes put a fresh compile inside the timed
+    # region, and the full-size warm-up discarded ~1e12 flips).
     chunk_iters = max(1, min(20_000, int(1e12 // (thin * n_sites))))
-    n_burn_chunks = max(burnin // thin, 1)
+    n_burn_chunks = -(-max(burnin // thin, 1) // chunk_iters) * chunk_iters
+    n_meas = -(-n_meas // chunk_iters) * chunk_iters
     planes = split_checkerboard(lat0.astype(dtype))
-    # Warm-up/compile with a tiny chunk before timing.
-    planes_w, _ = run_chunk(planes, jnp.int32(0), n=chunk_iters)
-    np.asarray(planes_w[0][:2, :2])
+    # Warm-up/compile: one real (small fraction of burn-in) chunk.
+    planes, _ = run_chunk(planes, jnp.int32(0), n=chunk_iters)
+    np.asarray(planes[0][:2, :2])
 
     t0 = time.perf_counter()
-    done = 0
+    done = chunk_iters  # the warm-up chunk counts toward burn-in
     while done < n_burn_chunks:
-        n = min(chunk_iters, n_burn_chunks - done)
-        planes, _ = run_chunk(planes, jnp.int32(done), n=n)
-        done += n
+        planes, _ = run_chunk(planes, jnp.int32(done), n=chunk_iters)
+        done += chunk_iters
     ms, es = [], []
-    done = n_burn_chunks
     total = n_burn_chunks + n_meas
     while done < total:
-        n = min(chunk_iters, total - done)
-        planes, (m, e) = run_chunk(planes, jnp.int32(done), n=n)
+        planes, (m, e) = run_chunk(planes, jnp.int32(done), n=chunk_iters)
         ms.append(np.asarray(m))
         es.append(np.asarray(e))
-        done += n
+        done += chunk_iters
     dt = time.perf_counter() - t0
     m_abs = np.concatenate(ms)
     e = np.concatenate(es)
-    total_sweeps = (n_burn_chunks + n_meas) * thin
+    total_sweeps = (total - chunk_iters) * thin
     return m_abs, e, total_sweeps / dt
 
 
@@ -152,6 +153,7 @@ def tau_and_ess(series, thin):
 def run_row(key, L, T, *, thin, n_meas, burnin, label):
     m_abs, e, sweeps_per_s = measure_series(
         key, L, T, thin=thin, n_meas=n_meas, burnin=burnin)
+    n_meas = len(m_abs)  # measure_series pads up to uniform chunks
     tau_m, ess_m = tau_and_ess(m_abs, thin)
     tau_e, ess_e = tau_and_ess(e, thin)
     meas_seconds = n_meas * thin / sweeps_per_s
@@ -287,9 +289,11 @@ def main():
             "tau_int_M_sweeps_projected_z2.17": round(tau_proj_lit, 0),
             "sweeps_per_s_measured_T3": sweeps_per_s,
             "sweeps_per_s_headline_kernel": round(kernel_sweeps_per_s, 1),
+            # Both lists ordered [fit-z, literature-z=2.17] so index i of
+            # one pairs with index i of the other.
             "ess_M_per_s_at_kernel_rate": [
-                round(kernel_sweeps_per_s / (2 * tau_proj_lit), 6),
-                round(kernel_sweeps_per_s / (2 * tau_proj), 6)],
+                round(kernel_sweeps_per_s / (2 * tau_proj), 6),
+                round(kernel_sweeps_per_s / (2 * tau_proj_lit), 6)],
             "seconds_per_independent_M_sample_at_kernel_rate": [
                 round(2 * tau_proj / kernel_sweeps_per_s, 1),
                 round(2 * tau_proj_lit / kernel_sweeps_per_s, 1)],

@@ -82,12 +82,15 @@ def render(results, headlines) -> str:
     q = _load_json(os.path.join(REPO, "visual_output", "quick",
                                 "benchmark_results.json"))
     if q:
+        flag = (" — RESUMED run, wall covers only re-run suites; "
+                "not a full-wall measurement"
+                if q.get("resumed_run") else "")
         lines += [
             "### quick-mode wall (regression-tracked, r5 target <= 60 s "
             "warm)", "",
             f"- total_time_s: {q.get('total_time_s')} "
             f"(backend {q.get('topology', {}).get('backend')}, "
-            f"seed {q.get('seed')})", "",
+            f"seed {q.get('seed')}){flag}", "",
         ]
     for sc in sorted(glob.glob(os.path.join(REPO, "visual_output",
                                             "scaling_*.json"))):

@@ -61,11 +61,13 @@ class BenchmarkRunner:
         partial_path = os.path.join(self.output_dir,
                                     "benchmark_partial.json")
         suites = {}
+        resumed = False
         if resume and os.path.exists(partial_path):
             with open(partial_path) as f:
                 part = json.load(f)
             if part.get("seed") == self.seed and part.get("quick") == quick:
                 suites = part.get("suites", {})
+                resumed = bool(suites)
                 print(f"resuming past completed suites: {sorted(suites)}")
             else:
                 print("partial file is from a different seed/mode; ignoring")
@@ -106,7 +108,10 @@ class BenchmarkRunner:
             "topology": self._topology(),
             "seed": self.seed,
             "quick": quick,
+            # A resumed run's wall covers only the suites it re-ran — it
+            # is NOT the regression-tracked full wall (review r5).
             "total_time_s": round(time.perf_counter() - t_start, 2),
+            "resumed_run": resumed,
             "suites": suites,
         }
         print("\n" + "=" * 64)

@@ -143,10 +143,11 @@ def _ladder_from_stats(betas_pilot, U_pilot, var_pilot, *,
                        var_floor_frac: float = 1e-3):
     """Hot-to-cold rung placement by root-finding the Gaussian acceptance.
 
-    Returns (betas ascending hot->cold, predicted per-pair acceptance,
-    capped flag). The variance floor keeps a frozen pilot point (measured
-    var ~ 0 at low T) from licensing an absurd spacing; the cap bounds any
-    single step to a fraction of the whole range for the same reason.
+    Returns (betas ascending hot->cold, the (U, V) interpolants — so the
+    caller can re-predict acceptance for a refined ladder — and the capped
+    flag). The variance floor keeps a frozen pilot point (measured var ~ 0
+    at low T) from licensing an absurd spacing; the cap bounds any single
+    step to a fraction of the whole range for the same reason.
     """
     x = np.asarray(betas_pilot, np.float64)
     var_floor = max(1e-12, var_floor_frac * float(np.max(var_pilot)))
@@ -162,7 +163,9 @@ def _ladder_from_stats(betas_pilot, U_pilot, var_pilot, *,
     ladder = [float(beta_min)]
     capped = False
     while ladder[-1] < beta_max - 1e-12:
-        if len(ladder) >= max_rungs:
+        # Reserve one slot for the forced beta_max endpoint so the cap is
+        # a true maximum (review r5: the old check allowed max_rungs + 1).
+        if len(ladder) >= max_rungs - 1:
             capped = True
             break
         b = ladder[-1]
@@ -181,11 +184,7 @@ def _ladder_from_stats(betas_pilot, U_pilot, var_pilot, *,
     if ladder[-1] < beta_max:
         ladder.append(float(beta_max))  # forced final rung when capped
     betas = np.asarray(ladder, np.float64)
-    pred = np.asarray([
-        predict_swap_acceptance(b1, b2, U, V)
-        for b1, b2 in zip(betas[:-1], betas[1:])
-    ])
-    return betas, pred, capped
+    return betas, (U, V), capped
 
 
 def _measure_pair_acceptance(key, ops: _BondPlaneOps, betas_build, *,
@@ -305,7 +304,7 @@ def build_tempering_ladder(
         n_measure=pilot_measure)
 
     dbeta_cap = (beta_max - beta_min) / 8.0
-    betas, pred, capped = _ladder_from_stats(
+    betas, (U_itp, V_itp), capped = _ladder_from_stats(
         betas_pilot, U_pilot, var_pilot, beta_min=beta_min,
         beta_max=beta_max, target=target_acceptance, max_rungs=max_rungs,
         dbeta_cap=dbeta_cap)
@@ -353,13 +352,24 @@ def build_tempering_ladder(
         betas = np.asarray(new, np.float64)
 
     temperatures = np.sort(1.0 / betas).astype(np.float32)
+    # Diagnostics all describe the RETURNED ladder in ONE convention:
+    # cold-first (matching ``temperatures`` ascending), with the Gaussian
+    # prediction recomputed for the final post-feedback rungs so lengths
+    # always line up (review r5: the pre-feedback prediction misaligned
+    # with the refined ladder, and betas was hot-first while the measured
+    # rates were cold-first).
+    betas_cold_first = np.sort(betas)[::-1].copy()
+    pred_final = np.asarray([
+        predict_swap_acceptance(b2, b1, U_itp, V_itp)
+        for b1, b2 in zip(betas_cold_first[:-1], betas_cold_first[1:])
+    ])
     info = {
         "n_rungs": len(temperatures),
-        "betas": betas,
+        "betas": betas_cold_first,
         "pilot_betas": betas_pilot,
         "pilot_energy_mean": U_pilot,
         "pilot_energy_var": var_pilot,
-        "predicted_acceptance": pred,
+        "predicted_acceptance": pred_final,
         "measured_pair_acceptance": (
             None if measured is None else measured[::-1].copy()),
         "measured_pair_attempts": (
